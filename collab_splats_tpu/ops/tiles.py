@@ -1,0 +1,128 @@
+"""Tile binning: map projected Gaussians to per-tile, depth-ordered lists.
+
+TPU-native replacement for gsplat's tile-intersection + CUB radix-sort stage
+(SURVEY.md §2b N1).  The GPU version builds a dynamically sized
+(tile, depth)-keyed list with device radix sort; under XLA everything must be
+static-shaped, so we:
+
+1. compute each Gaussian's tile-bbox intersection count,
+2. expand into a **fixed-capacity** intersection buffer via an exclusive
+   cumsum + ``searchsorted`` slot->gaussian inversion (no scatter with
+   dynamic extents),
+3. lexicographically sort (tile_id, depth) with ``jax.lax.sort``,
+4. cut per-tile windows of at most ``tile_capacity`` front-most splats with a
+   second ``searchsorted``.
+
+Capacity overflows never corrupt results: whole Gaussians that don't fit the
+global buffer are dropped and counted, and per-tile overflow beyond
+``tile_capacity`` drops the *farthest* splats (those are occluded in
+practice).  The ``spilled`` counter makes truncation observable (SURVEY.md §7
+"cap + spill statistics").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.options import RenderOptions
+from ..core.projection import Projection
+
+
+class TileBins(NamedTuple):
+    tile_gauss: jax.Array   # [T, K] int32 gaussian index, front-to-back
+    tile_mask: jax.Array    # [T, K] bool validity
+    num_tiles_x: int
+    num_tiles_y: int
+    spilled: jax.Array      # [] int32 dropped intersections (global + per-tile)
+
+
+def default_max_intersections(n: int) -> int:
+    return int(min(max(8 * n, 1 << 15), 1 << 24))
+
+
+def default_tile_capacity(n: int) -> int:
+    cap = 1 << 9  # 512
+    while cap > 8 and cap > 2 * n:
+        cap //= 2
+    return cap
+
+
+def tile_bbox(proj: Projection, num_tiles_x: int, num_tiles_y: int, tile_size: int):
+    """Inclusive tile-coordinate bbox per Gaussian, clamped to the grid."""
+    u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    tx0 = jnp.clip(jnp.floor((u - r) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((v - r) / tile_size), 0, num_tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((u + r) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((v + r) / tile_size), 0, num_tiles_y - 1).astype(jnp.int32)
+    return tx0, ty0, tx1, ty1
+
+
+def bin_gaussians(
+    proj: Projection,
+    width: int,
+    height: int,
+    opts: RenderOptions,
+) -> TileBins:
+    """Build per-tile depth-ordered Gaussian lists with static shapes."""
+    n = proj.depth.shape[0]
+    ts = opts.tile_size
+    ntx = -(-width // ts)
+    nty = -(-height // ts)
+    num_tiles = ntx * nty
+    m_cap = opts.max_intersections or default_max_intersections(n)
+    k_cap = opts.tile_capacity or default_tile_capacity(n)
+
+    tx0, ty0, tx1, ty1 = tile_bbox(proj, ntx, nty, ts)
+    ncols = tx1 - tx0 + 1
+    nrows = ty1 - ty0 + 1
+    counts = jnp.where(proj.valid, ncols * nrows, 0).astype(jnp.int32)
+
+    # Exclusive cumsum; conservatively drop whole Gaussians that would
+    # overflow the global buffer (two-pass so offsets stay consistent).
+    offsets0 = jnp.cumsum(counts) - counts
+    keep = offsets0 + counts <= m_cap
+    dropped = jnp.sum(jnp.where(keep, 0, counts))
+    counts = jnp.where(keep, counts, 0)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1] if n > 0 else jnp.zeros((), jnp.int32)
+
+    # Invert slot -> gaussian: gid = last i with offsets[i] <= m.
+    slots = jnp.arange(m_cap, dtype=jnp.int32)
+    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    gid = jnp.clip(gid, 0, max(n - 1, 0))
+    local = slots - offsets[gid]
+    g_ncols = ncols[gid]
+    dy = local // g_ncols
+    dx = local - dy * g_ncols
+    tile_id = (ty0[gid] + dy) * ntx + (tx0[gid] + dx)
+    slot_valid = slots < total
+    tile_id = jnp.where(slot_valid, tile_id, num_tiles).astype(jnp.int32)
+    depth_key = jnp.where(slot_valid, proj.depth[gid], jnp.inf)
+
+    # Lexicographic (tile, depth) sort; payload is the gaussian index.
+    sorted_tiles, _, sorted_gid = jax.lax.sort(
+        (tile_id, depth_key, gid), num_keys=2
+    )
+
+    # Per-tile windows.
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tiles, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tiles, tile_range + 1, side="left").astype(jnp.int32)
+
+    win = starts[:, None] + jnp.arange(k_cap, dtype=jnp.int32)[None, :]
+    tile_mask = win < ends[:, None]
+    win = jnp.clip(win, 0, m_cap - 1)
+    tile_gauss = sorted_gid[win]
+
+    tile_spill = jnp.sum(jnp.maximum(ends - starts - k_cap, 0))
+    return TileBins(
+        tile_gauss=tile_gauss,
+        tile_mask=tile_mask,
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+        spilled=(dropped + tile_spill).astype(jnp.int32),
+    )
