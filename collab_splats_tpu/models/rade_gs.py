@@ -1,0 +1,198 @@
+"""RaDe-GS model: forward outputs + loss stack, as pure functions.
+
+TPU-native re-derivation of the reference ``RadegsModel``
+(/root/reference/collab_splats/models/rade_gs_model.py):
+
+* ``get_outputs`` (:80-272): render RGB + expected depth + median depth +
+  normal map in one rasterization, blend background, derive the two
+  depth->normal error maps.
+* ``get_loss_dict`` (:274-309): SSIM+L1 RGB loss (Splatfacto base), optional
+  scale regularization, depth-normal consistency loss gated on
+  ``regularization_from_iter`` (default 15000).
+* ``normals`` property (:65-78): smallest-scale-axis world normals
+  (``core.projection.min_axis_normal``).
+
+Everything is a pure function of ``(params, alive, camera, step, rng)`` so
+the whole train step jits and shards; the depth-normal phase switch is a
+*static* flag (one recompile at iteration 15000) instead of traced control
+flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cameras import Camera, depth_pair_to_normal
+from ..core.options import RenderOptions
+from ..core.sh import eval_sh
+from ..ops.rasterize import RenderMeta, render_tiled
+from ..train import losses
+from .gaussians import GaussianParams, activated_opacity, activated_scales
+
+
+@dataclasses.dataclass(frozen=True)
+class RadeGSConfig:
+    """Static model configuration.
+
+    Defaults follow the reference method registration
+    (configs/rade_gs_method.py + RadegsModelConfig rade_gs_model.py:30-55).
+    """
+
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    ssim_lambda: float = 0.2
+    use_scale_regularization: bool = False
+    max_gauss_ratio: float = 10.0
+    regularization_from_iter: int = 15000
+    use_depth_normal_loss: bool = True
+    depth_normal_lambda: float = 0.05
+    depth_ratio: float = 0.6
+    background: str = "random"          # "random" | "black" | "white"
+    latent_dim: int = 0                 # 13 for rade-features
+    render: RenderOptions = RenderOptions()
+
+    def active_sh_degree(self, step: jax.Array | int) -> jax.Array:
+        if self.sh_degree <= 0:
+            return jnp.asarray(0)
+        return jnp.minimum(
+            jnp.asarray(step) // self.sh_degree_interval, self.sh_degree
+        )
+
+
+def background_color(
+    config: RadeGSConfig, rng: Optional[jax.Array], training: bool
+) -> jax.Array:
+    if config.background == "white":
+        return jnp.ones(3, jnp.float32)
+    if config.background == "black" or rng is None or not training:
+        return jnp.zeros(3, jnp.float32)
+    return jax.random.uniform(rng, (3,), jnp.float32)
+
+
+def compute_colors(
+    params: GaussianParams,
+    camera: Camera,
+    step: jax.Array | int,
+    config: RadeGSConfig,
+) -> jax.Array:
+    """Per-Gaussian rasterization channels [N, 3 + latent_dim].
+
+    SH path mirrors the reference feature model's precompute-to-RGB hack
+    (rade_features_model.py:427-441): evaluate SH in world space against the
+    camera center, shift +0.5 and clamp at 0; at sh_degree == 0 use
+    ``sigmoid(features_dc)`` like rade_gs_model.py:163.
+    """
+    if config.sh_degree > 0:
+        coeffs = jnp.concatenate(
+            [params["features_dc"][:, None, :], params["features_rest"]], axis=1
+        )
+        dirs = params["means"] - camera.camera_center()[None, :]
+        rgb = eval_sh(coeffs, dirs, config.active_sh_degree(step))
+        rgb = jnp.clip(rgb + 0.5, 0.0, None)
+    else:
+        rgb = jax.nn.sigmoid(params["features_dc"])
+    if config.latent_dim:
+        rgb = jnp.concatenate([rgb, params["distill_features"]], axis=-1)
+    return rgb
+
+
+def get_outputs(
+    params: GaussianParams,
+    alive: jax.Array,
+    camera: Camera,
+    step: jax.Array | int,
+    config: RadeGSConfig,
+    rng: Optional[jax.Array] = None,
+    training: bool = True,
+    compute_error_maps: bool = False,
+    absgrad_sink: Optional[jax.Array] = None,
+) -> Tuple[Dict[str, jax.Array], RenderMeta]:
+    """Render one camera and assemble the reference's output dict.
+
+    Keys mirror rade_gs_model.py:256-272: rgb, depth (expected),
+    median_depth, accumulation, normals ([0,1]-mapped), the two error maps,
+    background; plus "features" [H,W,latent] when latent_dim > 0 and
+    "normal_cam" (raw camera-space accumulated normal).
+    """
+    colors = compute_colors(params, camera, step, config)
+    out, meta = render_tiled(
+        params["means"],
+        params["quats"],
+        activated_scales(params),
+        activated_opacity(params, alive),
+        colors,
+        camera,
+        config.render,
+        absgrad_sink=absgrad_sink,
+    )
+
+    bg = background_color(config, rng, training)
+    rgb = jnp.clip(out.color[..., :3] + (1.0 - out.alpha[..., None]) * bg, 0.0, 1.0)
+
+    alpha = out.alpha
+    has_hit = alpha > 0.0
+    # Out-of-alpha pixels are pushed to the detached max like the reference
+    # (rade_gs_model.py:248-254) so depth->normal borders stay sane.
+    def backfill(x):
+        mx = jax.lax.stop_gradient(jnp.max(x))
+        return jnp.where(has_hit, x, mx)
+
+    expected_depth = backfill(out.depth)
+    median_depth = backfill(out.median_depth)
+
+    outputs: Dict[str, jax.Array] = {
+        "rgb": rgb,
+        "depth": expected_depth,
+        "median_depth": median_depth,
+        "accumulation": alpha,
+        "normal_cam": out.normal,
+        "normals": (out.normal + 1.0) / 2.0,
+        "background": bg,
+        "spilled": out.spilled,
+    }
+    if config.latent_dim:
+        outputs["features"] = out.color[..., 3 : 3 + config.latent_dim]
+
+    if compute_error_maps:
+        depth_normals = depth_pair_to_normal(camera, expected_depth, median_depth)
+        err = 1.0 - jnp.sum(out.normal[None] * depth_normals, axis=-1)  # [2,H,W]
+        outputs["depth_normal_error_map"] = err[0][..., None]
+        outputs["middepth_normal_error_map"] = err[1][..., None]
+    return outputs, meta
+
+
+def get_loss(
+    outputs: Dict[str, jax.Array],
+    image: jax.Array,
+    params: GaussianParams,
+    alive: jax.Array,
+    step: jax.Array | int,
+    config: RadeGSConfig,
+    reg_active: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Total loss + per-term dict (reference get_loss_dict, rade_gs_model.py:274-309).
+
+    ``reg_active`` is the static depth-normal phase switch: the trainer sets
+    it True from ``regularization_from_iter`` on (one recompile instead of
+    traced branching).
+    """
+    loss_dict = {
+        "rgb_loss": losses.rgb_loss(outputs["rgb"], image, config.ssim_lambda)
+    }
+    if config.use_scale_regularization:
+        loss_dict["scale_reg"] = losses.scale_regularization(
+            params["scales"], alive.astype(jnp.float32), config.max_gauss_ratio
+        )
+    if reg_active and config.use_depth_normal_loss:
+        loss_dict["depth_normal_loss"] = losses.depth_normal_loss(
+            outputs["depth_normal_error_map"],
+            outputs["middepth_normal_error_map"],
+            config.depth_ratio,
+            config.depth_normal_lambda,
+        )
+    total = sum(loss_dict.values())
+    return total, loss_dict

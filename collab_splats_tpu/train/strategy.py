@@ -1,0 +1,273 @@
+"""Densify / prune strategy with static shapes (fixed capacity + alive mask).
+
+TPU-native re-derivation of gsplat's ``DefaultStrategy`` as consumed by the
+reference (rade_gs_model.py:19,192-198,456-458 via nerfstudio Splatfacto):
+
+* accumulate per-Gaussian screen-space gradient statistics every step
+  (``absgrad``-style: absolute values of the per-tile means2d gradients,
+  recovered from the rasterizer's additive sink — see ops/rasterize.py);
+* every ``refine_every`` steps inside the densification window: duplicate
+  small high-gradient Gaussians, split large ones into
+  ``n_split_samples`` resampled children, cull transparent / oversized ones;
+* periodically clamp opacities down (reset).
+
+The GPU implementation reallocates tensors each refine; under ``jit`` shapes
+must be static, so parameters live in capacity-C arrays with an ``alive``
+mask and refinement is a pure C-sized scatter program: freed slots are
+ranked with a cumsum, new children are assigned to free slots by rank, and
+overflow beyond capacity is dropped and counted (the trainer grows capacity
+host-side when occupancy crosses a threshold, amortizing recompiles).
+
+Defaults follow nerfstudio SplatfactoModelConfig (densify_grad_thresh 8e-4
+on NDC-scaled gradients, densify_size_thresh 0.01, cull_alpha_thresh 0.1,
+cull_scale_thresh 0.5, refine_every 100, warmup 500, stop_split_at 15000,
+reset every 30 refines), the values the reference trains with.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.projection import quat_to_rotmat
+from ..models.gaussians import GaussianParams
+from ..ops.rasterize import RenderMeta
+
+
+@dataclasses.dataclass(frozen=True)
+class StrategyConfig:
+    warmup_length: int = 500
+    refine_every: int = 100
+    densify_grad_thresh: float = 0.0008
+    densify_size_thresh: float = 0.01
+    n_split_samples: int = 2
+    split_scale_factor: float = 1.6
+    cull_alpha_thresh: float = 0.1
+    cull_scale_thresh: float = 0.5
+    cull_screen_size: float = 0.15
+    split_screen_size: float = 0.05
+    stop_screen_size_at: int = 4000
+    reset_alpha_every: int = 30          # in units of refine_every
+    stop_split_at: int = 15000
+    continue_cull_post_densification: bool = True
+    use_absgrad: bool = True
+
+    def is_refine_step(self, step: int) -> bool:
+        return (
+            step > self.warmup_length
+            and step % self.refine_every == 0
+        )
+
+    def is_reset_step(self, step: int) -> bool:
+        period = self.reset_alpha_every * self.refine_every
+        return step > 0 and step % period == 0 and step < self.stop_split_at
+
+    def splits_allowed(self, step: int) -> bool:
+        return step < self.stop_split_at
+
+    def scale_cull_active(self, step: int) -> bool:
+        return step > self.reset_alpha_every * self.refine_every
+
+    def screen_size_active(self, step: int) -> bool:
+        return step < self.stop_screen_size_at
+
+
+class StrategyState(NamedTuple):
+    grad_accum: jax.Array   # [C] accumulated NDC-scaled grad norms
+    count: jax.Array        # [C] visibility counts
+    max_radii: jax.Array    # [C] max screen radius as a fraction of max(W,H)
+
+
+def init_state(capacity: int) -> StrategyState:
+    z = jnp.zeros((capacity,), jnp.float32)
+    return StrategyState(grad_accum=z, count=z, max_radii=z)
+
+
+def update_state(
+    state: StrategyState,
+    meta: RenderMeta,
+    sink_grad: jax.Array,
+) -> StrategyState:
+    """Accumulate densification statistics after one backward pass.
+
+    Args:
+        meta: rasterizer meta (projection + bins) from the forward.
+        sink_grad: [T, K, 2] cotangent of the absgrad sink — the exact
+            per-(tile, splat) screen-space gradient of the loss w.r.t. the
+            2D means.  Absolute values are scatter-summed per Gaussian
+            (gsplat's ``absgrad`` statistic at tile granularity) and scaled
+            to NDC units (x max(W,H)/2) to match the Splatfacto threshold.
+    """
+    c = state.grad_accum.shape[0]
+    idx = meta.bins.tile_gauss.reshape(-1)
+    mask = meta.bins.tile_mask.reshape(-1)
+    g = jnp.abs(sink_grad).reshape(-1, 2)
+    g = jnp.where(mask[:, None], g, 0.0)
+    idx = jnp.where(mask, idx, c)  # dropped
+    gu = jnp.zeros((c,), jnp.float32).at[idx].add(g[:, 0], mode="drop")
+    gv = jnp.zeros((c,), jnp.float32).at[idx].add(g[:, 1], mode="drop")
+    scale = 0.5 * max(meta.width, meta.height)
+    grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
+
+    visible = meta.proj.valid
+    radii_frac = meta.proj.radius / float(max(meta.width, meta.height))
+    return StrategyState(
+        grad_accum=state.grad_accum + grad_ndc,
+        count=state.count + visible.astype(jnp.float32),
+        max_radii=jnp.maximum(state.max_radii, radii_frac),
+    )
+
+
+def reset_opacity(params: GaussianParams, cfg: StrategyConfig) -> GaussianParams:
+    """Clamp opacities to at most 2 * cull_alpha_thresh (Splatfacto reset)."""
+    cap = 2.0 * cfg.cull_alpha_thresh
+    logit_cap = float(jnp.log(cap / (1.0 - cap)))
+    out = dict(params)
+    out["opacities"] = jnp.minimum(params["opacities"], logit_cap)
+    return out
+
+
+class RefineResult(NamedTuple):
+    params: GaussianParams
+    alive: jax.Array
+    written: jax.Array       # [C] rows newly written (optimizer state -> 0)
+    state: StrategyState     # reset accumulators
+    n_dup: jax.Array
+    n_split: jax.Array
+    n_cull: jax.Array
+    dropped: jax.Array       # children dropped for lack of capacity
+
+
+def refine(
+    params: GaussianParams,
+    alive: jax.Array,
+    state: StrategyState,
+    key: jax.Array,
+    cfg: StrategyConfig,
+    scene_scale: float = 1.0,
+    allow_split: bool = True,
+    scale_cull: bool = False,
+    screen_size_cull: bool = False,
+) -> RefineResult:
+    """One densify/prune pass (static shapes; jit-safe).
+
+    The static flags come from :class:`StrategyConfig` schedule helpers and
+    are resolved host-side by the trainer at each refine step.
+    """
+    c = alive.shape[0]
+    alive_f = alive
+    opac = jax.nn.sigmoid(params["opacities"][:, 0])
+    scales = jnp.exp(params["scales"])
+    scale_max = jnp.max(scales, axis=-1)
+
+    avg_grad = state.grad_accum / jnp.clip(state.count, 1.0, None)
+    high_grad = alive_f & (avg_grad > cfg.densify_grad_thresh) & (state.count > 0)
+
+    size_thresh = cfg.densify_size_thresh * scene_scale
+    big_world = scale_max > size_thresh
+    big_screen = state.max_radii > cfg.split_screen_size
+
+    is_split = high_grad & big_world
+    if screen_size_cull:
+        is_split = is_split | (high_grad & big_screen)
+    if not allow_split:
+        is_split = jnp.zeros_like(is_split)
+    is_dup = high_grad & ~big_world & ~is_split
+
+    culled = alive_f & (opac < cfg.cull_alpha_thresh)
+    if scale_cull:
+        culled = culled | (alive_f & (scale_max > cfg.cull_scale_thresh * scene_scale))
+        if screen_size_cull:
+            culled = culled | (alive_f & (state.max_radii > cfg.cull_screen_size))
+    is_dup = is_dup & ~culled
+    is_split = is_split & ~culled
+
+    survivors = alive_f & ~culled & ~is_split
+    free = ~survivors
+    n_free = jnp.sum(free.astype(jnp.int32))
+
+    # rank -> slot mapping for free slots.
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    ranks = jnp.where(free, free_rank, c)
+    slot_of_rank = jnp.full((c,), c, jnp.int32).at[ranks].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop"
+    )
+
+    n_dup = jnp.sum(is_dup.astype(jnp.int32))
+    split_rank = jnp.cumsum(is_split.astype(jnp.int32)) - 1
+    dup_rank = jnp.cumsum(is_dup.astype(jnp.int32)) - 1
+
+    new_params = dict(params)
+    written = jnp.zeros((c,), bool)
+
+    def scatter_rows(dst_params, written, targets, source_params):
+        safe_t = jnp.where(targets < c, targets, c)
+        out = {}
+        for k, v in dst_params.items():
+            out[k] = v.at[safe_t].set(source_params[k], mode="drop")
+        written = written.at[safe_t].set(True, mode="drop")
+        return out, written
+
+    # --- duplications: one copy per source, same parameters.
+    dup_targets = jnp.where(
+        is_dup & (dup_rank < n_free), slot_of_rank[jnp.clip(dup_rank, 0, c - 1)], c
+    )
+    new_params, written = scatter_rows(new_params, written, dup_targets, params)
+
+    # --- splits: n_split_samples children per source, resampled positions,
+    # scales shrunk by split_scale_factor (original removed via ~survivors).
+    n_items_split = cfg.n_split_samples
+    rot = quat_to_rotmat(params["quats"])
+    split_scales = jnp.log(
+        jnp.clip(scales / cfg.split_scale_factor, 1e-10, None)
+    )
+    total_split = jnp.sum(is_split.astype(jnp.int32))
+    for j in range(n_items_split):
+        eps = jax.random.normal(jax.random.fold_in(key, j), (c, 3))
+        offset = jnp.einsum("nij,nj->ni", rot, scales * eps)
+        child = dict(params)
+        child["means"] = params["means"] + offset
+        child["scales"] = split_scales
+        item_rank = n_dup + split_rank * n_items_split + j
+        targets = jnp.where(
+            is_split & (item_rank < n_free),
+            slot_of_rank[jnp.clip(item_rank, 0, c - 1)],
+            c,
+        )
+        new_params, written = scatter_rows(new_params, written, targets, child)
+
+    new_alive = survivors | written
+    wanted = n_dup + total_split * n_items_split
+    dropped = wanted - jnp.minimum(wanted, n_free)
+
+    return RefineResult(
+        params=new_params,
+        alive=new_alive,
+        written=written,
+        state=init_state(c),
+        n_dup=n_dup,
+        n_split=total_split,
+        n_cull=jnp.sum(culled.astype(jnp.int32)),
+        dropped=dropped,
+    )
+
+
+def zero_opt_rows(opt_state, written: jax.Array):
+    """Zero optimizer moment rows for newly written Gaussians.
+
+    Applied generically over the optax state pytree: any leaf whose leading
+    dimension equals the capacity is masked (Adam mu/nu; the scalar step
+    counts pass through untouched).
+    """
+    c = written.shape[0]
+
+    def fix(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == c:
+            mask = written.reshape((c,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(mask, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(fix, opt_state)
