@@ -104,6 +104,74 @@ def orbit_cameras(
     return cams
 
 
+def write_synthetic_dataset(
+    out_dir,
+    n_cams: int = 8,
+    n_gaussians: int = 300,
+    width: int = 64,
+    height: int = 64,
+    seed: int = 0,
+):
+    """Render a random Gaussian scene to a nerfstudio-format dataset.
+
+    Produces ``transforms.json`` + ``images/*.png`` + ``sparse.ply`` — the
+    exact contract the preprocessing stage (ns-process-data / COLMAP,
+    SURVEY.md §2b N3) would produce, letting pipeline tests run with no SfM.
+
+    Returns (out_dir, gt_params, cameras).
+    """
+    import json
+    from pathlib import Path
+
+    from PIL import Image
+
+    from ..core.options import RenderOptions
+    from ..models import rade_gs
+    from .ply import write_ply
+
+    out_dir = Path(out_dir)
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    gt = random_gaussian_params(key, n_gaussians, extent=0.6,
+                                scale_range=(0.02, 0.08))
+    cams = orbit_cameras(n_cams, radius=2.5, width=width, height=height,
+                         focal=1.1 * max(width, height))
+    cfg = rade_gs.RadeGSConfig(
+        sh_degree=0, background="black",
+        render=RenderOptions(tile_capacity=256, max_intersections=1 << 16),
+    )
+    alive = jnp.ones(n_gaussians, bool)
+    frames = []
+    for i, cam in enumerate(cams):
+        out, _ = rade_gs.get_outputs(gt, alive, cam, 0, cfg, training=False)
+        img = np.asarray(jnp.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+        name = f"images/frame_{i:05d}.png"
+        Image.fromarray(img).save(out_dir / name)
+        frames.append({
+            "file_path": name,
+            "transform_matrix": np.asarray(cam.c2w, np.float64).tolist(),
+        })
+    focal = float(cams[0].K[0, 0])
+    meta = {
+        "fl_x": focal, "fl_y": focal,
+        "cx": width / 2.0, "cy": height / 2.0,
+        "w": width, "h": height,
+        "camera_model": "OPENCV",
+        "ply_file_path": "sparse.ply",
+        "frames": frames,
+    }
+    with open(out_dir / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    from ..core.sh import sh0_to_rgb
+
+    write_ply(
+        str(out_dir / "sparse.ply"),
+        np.asarray(gt["means"]),
+        colors=np.clip(np.asarray(sh0_to_rgb(gt["features_dc"])), 0, 1),
+    )
+    return out_dir, gt, cams
+
+
 def flat_disk_gaussian(
     center=(0.0, 0.0, 0.0), normal=(0.0, 0.0, 1.0), radius=0.3, thickness=1e-3
 ) -> Dict[str, jax.Array]:

@@ -78,7 +78,6 @@ def render_tiled(
         (RenderOutput, RenderMeta).  ``RenderOutput.color`` has no background
         blended; maps are [H, W, ...] cropped to the camera size.
     """
-    n = means.shape[0]
     viewmat = camera.viewmat()
     proj = project_gaussians(
         means, quats, scales, viewmat, camera.K,
@@ -95,6 +94,31 @@ def render_tiled(
     else:
         normal_cam = proj.normal
 
+    return render_from_projections(
+        proj, opac, colors, normal_cam, camera, opts,
+        absgrad_sink=absgrad_sink, tile_chunk=tile_chunk,
+    )
+
+
+def render_from_projections(
+    proj: Projection,
+    opac: jax.Array,
+    colors: jax.Array,
+    normal_cam: jax.Array,
+    camera: Camera,
+    opts: RenderOptions = RenderOptions(),
+    absgrad_sink: Optional[jax.Array] = None,
+    tile_chunk: int = 64,
+) -> tuple[RenderOutput, RenderMeta]:
+    """Binning + compositing from already-projected Gaussians.
+
+    Split out of :func:`render_tiled` so the projection phase can run
+    gaussian-sharded across a device mesh (each device projects its shard,
+    projections are all-gathered — arrays far smaller than the raw
+    parameters' SH coefficients — and compositing proceeds locally;
+    the all-gather's backward is the reduce-scatter that routes pixel
+    gradients back to each Gaussian's owner).  See parallel/train.py.
+    """
     bins = bin_gaussians(proj, camera.width, camera.height, opts)
     ts = opts.tile_size
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y

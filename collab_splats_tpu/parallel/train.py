@@ -1,0 +1,236 @@
+"""Sharded training step: camera-parallel x gaussian-sharded `shard_map`.
+
+The multi-chip answer to the reference's single-GPU loop (SURVEY.md §2c):
+
+    mesh = (data: cameras, gauss: gaussian table)
+
+Per device, per step:
+  1. activate + project the **local Gaussian shard** (O(C/G) work),
+  2. `all_gather` the compact projected quantities over ``gauss`` (forward
+     comm: ~56 B/gaussian, far less than the SH-laden raw parameters),
+  3. bin + composite the full set against this device's camera,
+  4. backward: the all-gather transposes to a `reduce_scatter` routing pixel
+     gradients back to each shard owner; camera-parallel gradients are then
+     `psum`'d over ``data``,
+  5. per-shard Adam update (optimizer moments never leave the shard),
+  6. densification statistics are psum'd over ``data`` and kept sharded.
+
+Everything is one `shard_map`-decorated jitted function; XLA overlaps the
+collectives with local compute where profitable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.cameras import Camera
+from ..core.options import RenderOptions
+from ..core.projection import project_gaussians
+from ..models import rade_gs
+from ..models.gaussians import GaussianParams
+from ..ops.rasterize import absgrad_sink_shape, render_from_projections
+from ..train import losses
+from ..train.strategy import StrategyState
+from .mesh import DATA_AXIS, GAUSS_AXIS
+
+
+class CameraBatch(NamedTuple):
+    """A batch of B cameras with shared static image size."""
+
+    K: jax.Array    # [B, 3, 3]
+    c2w: jax.Array  # [B, 4, 4]
+
+
+def _spec_for_capacity(tree, capacity: int):
+    """PartitionSpec pytree: shard leading axes of capacity-sized leaves."""
+
+    def spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            return P(GAUSS_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    optimizer,
+    model_config: rade_gs.RadeGSConfig,
+    width: int,
+    height: int,
+    capacity: int,
+    opt_state_template,
+    reg_active: bool = False,
+):
+    """Build the jitted sharded train step.
+
+    Args:
+        mesh: (data, gauss) mesh from parallel.mesh.make_mesh.
+        optimizer: optax transformation (from train.optim.make_optimizer).
+        model_config: static model config.
+        width, height: static camera size for this step variant.
+        capacity: Gaussian capacity C (multiple of the gauss axis size).
+        opt_state_template: an opt state (or jax.eval_shape of it) used to
+            derive the sharding spec pytree.
+        reg_active: static depth-normal phase flag.
+
+    Returns:
+        step(params, alive, opt_state, strat_state, cams: CameraBatch,
+             images [B,H,W,3], step_idx, key)
+          -> (params, alive_unused, opt_state, strat_state, metrics dict)
+    """
+    n_gauss = mesh.shape[GAUSS_AXIS]
+    assert capacity % n_gauss == 0
+    shard = capacity // n_gauss
+    cfg = model_config
+    opts = cfg.render
+
+    params_spec = {
+        k: P(GAUSS_AXIS) for k in
+        ["means", "scales", "quats", "opacities", "features_dc",
+         "features_rest"]
+    }
+    if cfg.latent_dim:
+        params_spec["distill_features"] = P(GAUSS_AXIS)
+    opt_spec = _spec_for_capacity(opt_state_template, capacity)
+    strat_spec = StrategyState(P(GAUSS_AXIS), P(GAUSS_AXIS), P(GAUSS_AXIS))
+    cam_spec = CameraBatch(P(DATA_AXIS), P(DATA_AXIS))
+
+    in_specs = (
+        params_spec,            # params
+        P(GAUSS_AXIS),          # alive
+        opt_spec,               # opt_state
+        strat_spec,             # strat_state
+        cam_spec,               # cameras
+        P(DATA_AXIS),           # images
+        P(),                    # step
+        P(),                    # key
+    )
+    out_specs = (
+        params_spec,
+        opt_spec,
+        strat_spec,
+        {"loss": P(), "psnr": P(), "spilled": P()},
+    )
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def step(params, alive, opt_state, strat_state, cams, images, step_idx, key):
+        # Local camera: one per data index (replicated along gauss).
+        camera = Camera(
+            K=cams.K[0], c2w=cams.c2w[0], width=width, height=height
+        )
+        image = images[0]
+        data_idx = jax.lax.axis_index(DATA_AXIS)
+        bg_key = jax.random.fold_in(key, data_idx)
+        viewmat = camera.viewmat()
+        sink_shape = absgrad_sink_shape(width, height, capacity, opts)
+        sink = jnp.zeros(sink_shape, jnp.float32)
+
+        def loss_fn(p, snk):
+            colors = rade_gs.compute_colors(p, camera, step_idx, cfg)
+            opac = jax.nn.sigmoid(p["opacities"][:, 0]) * alive
+            proj = project_gaussians(
+                p["means"], p["quats"], jnp.exp(p["scales"]),
+                viewmat, camera.K, width, height,
+                eps2d=opts.eps2d, near_plane=opts.near_plane,
+                far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+            )
+            if opts.rasterize_mode == "antialiased":
+                opac = opac * proj.compensation
+
+            # Gather the compact projected set over the gauss axis.
+            gather = lambda x: jax.lax.all_gather(
+                x, GAUSS_AXIS, axis=0, tiled=True
+            )
+            proj_full = jax.tree_util.tree_map(gather, proj)
+            opac_full = gather(opac)
+            colors_full = gather(colors)
+            normal_full = proj_full.normal
+
+            out, meta = render_from_projections(
+                proj_full, opac_full, colors_full, normal_full, camera, opts,
+                absgrad_sink=snk,
+            )
+            bg = rade_gs.background_color(cfg, bg_key, True)
+            rgb = jnp.clip(
+                out.color[..., :3] + (1.0 - out.alpha[..., None]) * bg, 0.0, 1.0
+            )
+            outputs = {"rgb": rgb, "spilled": out.spilled}
+            if reg_active and cfg.use_depth_normal_loss:
+                from ..core.cameras import depth_pair_to_normal
+
+                has_hit = out.alpha > 0.0
+                bf = lambda x: jnp.where(
+                    has_hit, x, jax.lax.stop_gradient(jnp.max(x))
+                )
+                dn = depth_pair_to_normal(
+                    camera, bf(out.depth), bf(out.median_depth)
+                )
+                err = 1.0 - jnp.sum(out.normal[None] * dn, axis=-1)
+                outputs["depth_normal_error_map"] = err[0][..., None]
+                outputs["middepth_normal_error_map"] = err[1][..., None]
+
+            loss = losses.rgb_loss(rgb, image, cfg.ssim_lambda)
+            if reg_active and cfg.use_depth_normal_loss:
+                loss = loss + losses.depth_normal_loss(
+                    outputs["depth_normal_error_map"],
+                    outputs["middepth_normal_error_map"],
+                    cfg.depth_ratio, cfg.depth_normal_lambda,
+                )
+            return loss, (outputs, meta)
+
+        (loss, (outputs, meta)), (pgrads, sink_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, sink)
+
+        # Camera-parallel gradient all-reduce (mean over the data axis).
+        n_data = jax.lax.axis_size(DATA_AXIS)
+        pgrads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, DATA_AXIS) / n_data, pgrads
+        )
+
+        updates, opt_state = optimizer.update(pgrads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        # Densification statistics: full-C scatter, psum over data, reslice.
+        idx = meta.bins.tile_gauss.reshape(-1)
+        msk = meta.bins.tile_mask.reshape(-1)
+        g = jnp.where(msk[:, None], jnp.abs(sink_grad).reshape(-1, 2), 0.0)
+        sidx = jnp.where(msk, idx, capacity)
+        gu = jnp.zeros((capacity,), jnp.float32).at[sidx].add(g[:, 0], mode="drop")
+        gv = jnp.zeros((capacity,), jnp.float32).at[sidx].add(g[:, 1], mode="drop")
+        scale = 0.5 * max(width, height)
+        grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
+        grad_ndc = jax.lax.psum(grad_ndc, DATA_AXIS)
+        # meta.proj here is the gathered full set; visibility psum'd over data.
+        visible = jax.lax.psum(
+            meta.proj.valid.astype(jnp.float32), DATA_AXIS
+        )
+        radii_frac = jax.lax.pmax(
+            meta.proj.radius / float(max(width, height)), DATA_AXIS
+        )
+        g0 = jax.lax.axis_index(GAUSS_AXIS) * shard
+        sl = lambda x: jax.lax.dynamic_slice(x, (g0,), (shard,))
+        strat_state = StrategyState(
+            grad_accum=strat_state.grad_accum + sl(grad_ndc),
+            count=strat_state.count + sl(visible),
+            max_radii=jnp.maximum(strat_state.max_radii, sl(radii_frac)),
+        )
+
+        metrics = {
+            "loss": jax.lax.pmean(loss, DATA_AXIS),
+            "psnr": jax.lax.pmean(losses.psnr(outputs["rgb"], image), DATA_AXIS),
+            "spilled": jax.lax.pmax(outputs["spilled"], DATA_AXIS),
+        }
+        return params, opt_state, strat_state, metrics
+
+    return jax.jit(step, static_argnames=())
