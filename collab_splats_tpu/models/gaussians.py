@@ -76,9 +76,15 @@ def init_from_points(
 
 
 def pad_to_capacity(params: GaussianParams, capacity: int) -> GaussianParams:
-    """Pad every array's leading dim to ``capacity`` with safe values."""
+    """Pad every per-Gaussian array's leading dim to ``capacity``.
+
+    Non-array entries (e.g. the nested ``decoder`` parameter subtree of the
+    rade-features model) pass through untouched.
+    """
 
     def pad(name, x):
+        if not hasattr(x, "shape"):
+            return x
         n = x.shape[0]
         if n == capacity:
             return x
@@ -91,7 +97,10 @@ def pad_to_capacity(params: GaussianParams, capacity: int) -> GaussianParams:
             return jnp.pad(x, pad_width, constant_values=-10.0)
         return jnp.pad(x, pad_width)
 
-    return {k: pad(k, v) for k, v in params.items()}
+    return {
+        k: (v if isinstance(v, dict) else pad(k, v))
+        for k, v in params.items()
+    }
 
 
 def grow_capacity(

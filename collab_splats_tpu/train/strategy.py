@@ -203,11 +203,17 @@ def refine(
     new_params = dict(params)
     written = jnp.zeros((c,), bool)
 
+    def is_gauss_array(v):
+        return hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == c
+
     def scatter_rows(dst_params, written, targets, source_params):
         safe_t = jnp.where(targets < c, targets, c)
         out = {}
         for k, v in dst_params.items():
-            out[k] = v.at[safe_t].set(source_params[k], mode="drop")
+            if is_gauss_array(v):
+                out[k] = v.at[safe_t].set(source_params[k], mode="drop")
+            else:  # e.g. nested decoder subtree: untouched by refinement
+                out[k] = v
         written = written.at[safe_t].set(True, mode="drop")
         return out, written
 

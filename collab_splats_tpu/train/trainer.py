@@ -63,11 +63,20 @@ class Trainer:
         alive: jax.Array,
         groups: Optional[Dict[str, optim.GroupSpec]] = None,
         checkpoint_fn: Optional[Callable] = None,
+        features: Optional[Sequence[Dict]] = None,
     ):
         assert len(cameras) == len(images)
         self.config = config
         self.cameras = list(cameras)
         self.images = [jnp.asarray(im, jnp.float32) for im in images]
+        self.features = (
+            [
+                {k: jnp.asarray(v, jnp.float32) for k, v in f.items()}
+                for f in features
+            ]
+            if features is not None
+            else None
+        )
         self.params = params
         self.alive = alive
         self.groups = groups or optim.RADE_GS_GROUPS
@@ -93,6 +102,7 @@ class Trainer:
         step,
         camera: Camera,
         image,
+        features_gt,
         reg_active: bool,
     ):
         cfg = self.config.model
@@ -109,9 +119,17 @@ class Trainer:
                 p, alive, camera, step, cfg, rng=bg_key, training=True,
                 compute_error_maps=reg_active, absgrad_sink=snk,
             )
-            loss, ldict = rade_gs.get_loss(
-                outputs, image, p, alive, step, cfg, reg_active=reg_active
-            )
+            if features_gt is not None:
+                from ..models import rade_features
+
+                loss, ldict = rade_features.get_loss(
+                    outputs, image, features_gt, p, alive, step, cfg,
+                    reg_active=reg_active,
+                )
+            else:
+                loss, ldict = rade_gs.get_loss(
+                    outputs, image, p, alive, step, cfg, reg_active=reg_active
+                )
             return loss, (outputs, meta, ldict)
 
         (loss, (outputs, meta, ldict)), (pgrads, sink_grad) = jax.value_and_grad(
@@ -157,6 +175,7 @@ class Trainer:
             jax.random.fold_in(self.key, 4 * self.step), (), 0, len(self.cameras)
         ))
         camera, image = self.cameras[idx], self.images[idx]
+        features_gt = self.features[idx] if self.features is not None else None
         step_key = jax.random.fold_in(self.key, 4 * self.step + 1)
         reg_active = (
             cfg.model.use_depth_normal_loss
@@ -164,7 +183,7 @@ class Trainer:
         )
         self.params, self.opt_state, self.strat_state, metrics = self._train_step(
             self.params, self.alive, self.opt_state, self.strat_state,
-            step_key, self.step, camera, image, reg_active,
+            step_key, self.step, camera, image, features_gt, reg_active,
         )
         self.step += 1
 

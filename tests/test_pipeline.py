@@ -1,0 +1,163 @@
+"""End-to-end pipeline tests: config system, Splatter stages, CLI, resume."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from collab_splats_tpu.data.synthetic import write_synthetic_dataset
+from collab_splats_tpu.pipeline.config import (
+    ConfigLoader,
+    deep_merge,
+    parse_cli_overrides,
+)
+from collab_splats_tpu.pipeline.splatter import Splatter, ValidationError
+
+
+class TestConfig:
+    def test_deep_merge(self):
+        base = {"a": 1, "b": {"c": 2, "d": 3}}
+        out = deep_merge(base, {"b": {"c": 9}, "e": 5})
+        assert out == {"a": 1, "b": {"c": 9, "d": 3}, "e": 5}
+        assert base["b"]["c"] == 2  # base unchanged
+
+    def test_parse_overrides(self):
+        out = parse_cli_overrides(
+            ["method=rade-gs", "preprocess.sfm_tool=colmap",
+             "training.max_iterations=100", "meshing.voxel_size=0.02",
+             "flag=true"]
+        )
+        assert out["method"] == "rade-gs"
+        assert out["preprocess"]["sfm_tool"] == "colmap"
+        assert out["training"]["max_iterations"] == 100
+        assert out["meshing"]["voxel_size"] == 0.02
+        assert out["flag"] is True
+
+    def test_loader_hierarchy(self, tmp_path):
+        (tmp_path / "datasets").mkdir()
+        (tmp_path / "base.yaml").write_text(
+            "method: rade-features\ntraining:\n  max_iterations: 30000\n"
+        )
+        (tmp_path / "datasets" / "ants.yaml").write_text(
+            "file_path: /data/ants.mp4\ntraining:\n  max_iterations: 100\n"
+        )
+        loader = ConfigLoader(tmp_path)
+        assert loader.list_datasets() == ["ants"]
+        cfg = loader.load("ants", overrides={"method": "rade-gs"})
+        assert cfg["method"] == "rade-gs"
+        assert cfg["training"]["max_iterations"] == 100
+        with pytest.raises(ValueError):
+            loader.load("nonexistent")
+
+
+class TestSplatterValidation:
+    def test_missing_fields(self):
+        with pytest.raises(ValidationError):
+            Splatter({"method": "rade-gs"})
+
+    def test_bad_method(self, tmp_path):
+        with pytest.raises(ValidationError):
+            Splatter({"file_path": str(tmp_path), "method": "nerf"})
+
+    def test_default_output_path(self, tmp_path):
+        d = tmp_path / "videos" / "scene"
+        d.mkdir(parents=True)
+        s = Splatter({"file_path": str(d), "method": "rade-gs"})
+        assert s.config["output_path"] == tmp_path / "environment" / "scene"
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipeline_scene")
+    write_synthetic_dataset(d / "input", n_cams=8, n_gaussians=120,
+                            width=48, height=48)
+    return d
+
+
+class TestEndToEnd:
+    def test_full_pipeline(self, scene_dir):
+        s = Splatter({
+            "file_path": str(scene_dir / "input"),
+            "method": "rade-gs",
+            "output_path": str(scene_dir / "out"),
+        })
+        s._training_config = {
+            "max_iterations": 30, "capacity": 512, "sh_degree": 0,
+        }
+        s._meshing_config = {
+            "voxel_size": 0.05, "depth_trunc": 4.0, "align_floor": False,
+            "max_dim": 64,
+        }
+        s.run_pipeline()
+        assert (s.preproc_dir / "transforms.json").exists()
+        assert s._runs(), "no training run recorded"
+        assert (s.mesh_dir / "mesh.ply").exists()
+        assert (s.mesh_dir / "splats.ply").exists()
+
+        # Resume semantics: stages skip when outputs exist.
+        run_before = s._runs()[-1]
+        s.run_pipeline(overwrite=False)
+        assert s._runs()[-1] == run_before
+
+    def test_load_model_roundtrip(self, scene_dir):
+        s = Splatter({
+            "file_path": str(scene_dir / "input"),
+            "method": "rade-gs",
+            "output_path": str(scene_dir / "out"),
+        })
+        s._loaded = None
+        step, params, alive, spec, model_cfg = s.load_model()
+        assert step > 0
+        assert params["means"].shape[0] == alive.shape[0]
+
+    def test_features_pipeline_with_query(self, scene_dir):
+        s = Splatter({
+            "file_path": str(scene_dir / "input"),
+            "method": "rade-features",
+            "output_path": str(scene_dir / "out_features"),
+        })
+        s._training_config = {
+            "max_iterations": 25, "capacity": 512,
+            "extractors": ("hash-proj",), "feature_type": "hash-proj",
+            "final_resolution": 16,
+        }
+        s._meshing_config = {
+            "voxel_size": 0.05, "depth_trunc": 4.0, "align_floor": False,
+            "max_dim": 64,
+        }
+        s.run_pipeline()
+        assert (s.mesh_dir / "mesh_features.npz").exists()
+        data = np.load(s.mesh_dir / "mesh_features.npz")
+        assert data["features"].shape[1] == 13
+        sims = s.query_mesh(["red disk"], ["object"],
+                            output_fn=s.mesh_dir / "queried.ply")
+        assert sims.shape[0] == data["features"].shape[0]
+        assert np.isfinite(sims).all()
+        assert (s.mesh_dir / "queried.ply").exists()
+
+
+class TestCLI:
+    def test_list_methods(self, capsys):
+        from collab_splats_tpu.pipeline.cli import main
+
+        assert main(["--list-methods"]) == 0
+        out = capsys.readouterr().out
+        assert "rade-gs" in out and "rade-features" in out
+
+    def test_cli_pipeline(self, scene_dir, capsys):
+        from collab_splats_tpu.pipeline.cli import main
+
+        rc = main([
+            "--input", str(scene_dir / "input"),
+            "--method", "splatfacto",
+            "--output", str(scene_dir / "out_cli"),
+            "--set", "training.max_iterations=15",
+            "--set", "training.capacity=512",
+            "--set", "training.sh_degree=0",
+            "--set", "meshing.voxel_size=0.06",
+            "--set", "meshing.align_floor=false",
+            "--set", "meshing.max_dim=48",
+        ])
+        assert rc == 0
+        assert (Path(scene_dir) / "out_cli" / "mesh" / "mesh.ply").exists()
