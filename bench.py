@@ -33,16 +33,17 @@ def main():
 
     n = 1_000_000
     width, height = 1280, 720
+    reps = 10   # in-graph repetitions: amortizes host<->device dispatch
     log(f"bench: {n} gaussians, {width}x{height}, backend={jax.default_backend()}")
 
     key = jax.random.PRNGKey(0)
     params = random_gaussian_params(key, n, extent=1.5,
-                                    scale_range=(0.002, 0.01))
+                                    scale_range=(0.002, 0.006))
     camera = orbit_cameras(1, radius=3.0, width=width, height=height,
                            focal=1.0 * width)[0]
     opts = RenderOptions(
         rasterize_mode="antialiased",
-        max_intersections=1 << 22,
+        max_intersections=1 << 21,
         tile_capacity=512,
     )
 
@@ -52,40 +53,54 @@ def main():
     o = jax.nn.sigmoid(params["opacities"][:, 0])
     c = sh0_to_rgb(params["features_dc"])
 
-    @jax.jit
-    def forward(m, q, s, o, c):
+    def render_sum(m, q, s, o, c):
         out, _ = render_tiled(m, q, s, o, c, camera, opts)
-        return out.color, out.alpha, out.depth, out.median_depth, out.normal
+        return (
+            jnp.sum(out.color) + jnp.sum(out.depth) + jnp.sum(out.normal)
+            + jnp.sum(out.alpha) + jnp.sum(out.median_depth),
+            out.spilled,
+        )
 
     @jax.jit
-    def fwd_bwd(m, q, s, o, c):
+    def forward_loop(m, q, s, o, c):
+        def body(i, acc):
+            # Perturb an input by an i-dependent epsilon so XLA cannot hoist
+            # the loop-invariant render out of the loop.
+            v, spill = render_sum(m + 1e-30 * i, q, s, o, c)
+            return acc + v, spill
+
+        return jax.lax.fori_loop(0, reps, lambda i, a: body(i, a[0]),
+                                 (jnp.zeros(()), jnp.zeros((), jnp.int32)))
+
+    @jax.jit
+    def fwd_bwd_loop(m, q, s, o, c):
         def loss(m, q, s, o, c):
-            out, _ = render_tiled(m, q, s, o, c, camera, opts)
-            return (
-                jnp.sum(out.color) + jnp.sum(out.depth) + jnp.sum(out.normal)
+            return render_sum(m, q, s, o, c)[0]
+
+        def body(i, acc):
+            g = jax.grad(loss, argnums=(0, 2, 3, 4))(
+                m + 1e-30 * i, q, s, o, c
             )
+            return acc + g[0][0, 0]
 
-        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(m, q, s, o, c)
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
 
-    def timeit(fn, reps=3):
+    def timeit(fn):
         t0 = time.time()
         jax.block_until_ready(fn(m, q, s, o, c))
         compile_s = time.time() - t0
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            jax.block_until_ready(fn(m, q, s, o, c))
-            best = min(best, time.time() - t0)
-        return compile_s, best
+        t0 = time.time()
+        jax.block_until_ready(fn(m, q, s, o, c))
+        return compile_s, (time.time() - t0) / reps
 
-    fwd_compile, fwd_t = timeit(forward)
-    log(f"forward: compile {fwd_compile:.1f}s, best {fwd_t*1000:.2f}ms")
-    bwd_compile, bwd_t = timeit(fwd_bwd)
-    log(f"fwd+bwd: compile {bwd_compile:.1f}s, best {bwd_t*1000:.2f}ms")
+    fwd_compile, fwd_t = timeit(forward_loop)
+    log(f"forward: compile+1st {fwd_compile:.1f}s, per-iter {fwd_t*1000:.2f}ms")
+    bwd_compile, bwd_t = timeit(fwd_bwd_loop)
+    log(f"fwd+bwd: compile+1st {bwd_compile:.1f}s, per-iter {bwd_t*1000:.2f}ms")
 
     pixels = width * height
     pps = pixels / fwd_t
-    log(f"pixels/s forward: {pps:.3e}; bwd kernel time {bwd_t*1000:.2f}ms")
+    log(f"pixels/s forward: {pps:.3e}; fwd+bwd step {bwd_t*1000:.2f}ms")
 
     nominal_baseline_pps = 1e8
     print(json.dumps({
