@@ -36,6 +36,11 @@ def _union_find(n: int):
 
 def face_components(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Label faces by connected component (via shared vertices). [F] int."""
+    from . import _native
+
+    native = _native.face_components(len(vertices), faces)
+    if native is not None:
+        return native.astype(np.int64)
     n = len(vertices)
     parent, find, union = _union_find(n)
     for f in faces:
@@ -82,15 +87,19 @@ def compact(
 
 def boundary_loops(faces: np.ndarray) -> List[np.ndarray]:
     """Find boundary loops: cycles of edges used by exactly one face."""
-    edges = np.concatenate(
-        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
-    )
-    keys = np.sort(edges, axis=1)
-    uniq, inverse, counts = np.unique(
-        keys, axis=0, return_inverse=True, return_counts=True
-    )
-    boundary_mask = counts[inverse] == 1
-    b_edges = edges[boundary_mask]  # directed as in faces
+    from . import _native
+
+    b_edges = _native.boundary_edges(faces)
+    if b_edges is None:
+        edges = np.concatenate(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+        )
+        keys = np.sort(edges, axis=1)
+        uniq, inverse, counts = np.unique(
+            keys, axis=0, return_inverse=True, return_counts=True
+        )
+        boundary_mask = counts[inverse] == 1
+        b_edges = edges[boundary_mask]  # directed as in faces
     if len(b_edges) == 0:
         return []
     nxt = {}
