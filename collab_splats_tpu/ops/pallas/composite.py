@@ -1,0 +1,593 @@
+"""Pallas TPU kernel: per-tile depth-ordered alpha compositing.
+
+The speed-of-light path for the rasterizer's hot loop (SURVEY.md §7 layer
+2).  Works on *packed per-intersection* data laid out [D, M] (channels x
+intersections, sorted by (tile, depth) — built by ops/rasterize.py's
+binning + one XLA gather), so every tile's splats form a contiguous column
+range: the kernel DMAs contiguous [D, CHUNK] blocks — no scattered memory
+access anywhere.
+
+Per grid step (one 16x16 tile):
+  * walk the tile's segment in CHUNK-column blocks,
+  * alphas for all (pixel, splat) pairs as a dense [P, CHUNK] VPU block,
+  * transmittance via a log-space cumulative sum along the splat lanes with
+    a scalar carry across chunks,
+  * color/normal reductions as [P, CHUNK] @ [CHUNK, C] MXU matmuls,
+  * median depth via a first-crossing one-hot (no gather),
+  * early exit (``lax.while_loop``) once every pixel's transmittance falls
+    below ``stop_threshold`` — the analogue of the CUDA kernel's per-pixel
+    saturation break.
+
+Row layout of the packed matrix (D_BASE + C rows, f32):
+  0 u, 1 v (pixel coords of the splat center)
+  2 a, 3 b, 4 c (conic)
+  5 depth, 6 plane_u, 7 plane_v
+  8 opacity
+  9,10,11 normal (camera space)
+  12.. colors (C channels)
+
+Output is a packed [T, P, C + 6] image block per tile:
+  0..C-1 color, C..C+2 normal, C+3 alpha, C+4 depth_sum (unnormalized),
+  C+5 median (with the same max-weight-splat fallback as the XLA path);
+  plus a [T] int32 count of processed chunks (consumed by the backward
+  kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.compositing import ALPHA_CUTOFF, ALPHA_MAX
+
+D_BASE = 12
+CHUNK = 128
+
+
+
+def _tri_le() -> jax.Array:
+    """[CHUNK, CHUNK] matrix M[j, k] = 1 if j <= k: x @ M = inclusive cumsum
+    along lanes (Mosaic has no cumsum primitive; the MXU does it for free)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r <= c).astype(jnp.float32)
+
+
+def _tri_gt() -> jax.Array:
+    """[CHUNK, CHUNK] matrix M[j, k] = 1 if j > k: x @ M = exclusive suffix
+    sum along lanes."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (r > c).astype(jnp.float32)
+
+
+def _cumsum_lanes(x: jax.Array) -> jax.Array:
+    return jax.lax.dot_general(
+        x, _tri_le(), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _suffix_lanes(x: jax.Array) -> jax.Array:
+    return jax.lax.dot_general(
+        x, _tri_gt(), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pixel_grids(tile_size: int):
+    p = tile_size * tile_size
+    px = (jax.lax.broadcasted_iota(jnp.float32, (p, 1), 0) % tile_size) + 0.5
+    py = (jax.lax.broadcasted_iota(jnp.float32, (p, 1), 0) // tile_size) + 0.5
+    return px, py
+
+
+def composite_fwd_kernel(
+    # scalar prefetch
+    starts_ref,            # [T+1] int32 segment starts into the M axis
+    tile_xy_ref,           # [T, 2] int32 tile origin in pixels
+    # inputs
+    isect_ref,             # [D, M] f32 in ANY/HBM
+    # outputs
+    out_ref,               # [1, P, DOUT] f32 (blocked per tile)
+    nchunks_ref,           # [1, 1] int32 (blocked per tile)
+    # scratch
+    buf_ref,               # [D, CHUNK] VMEM
+    sem,                   # DMA semaphore
+    *,
+    tile_size: int,
+    n_color: int,
+    near_plane: float,
+    stop_threshold: float,
+    max_chunks: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    seg_len = end - start
+    n_chunks = jnp.minimum(pl.cdiv(seg_len, CHUNK), max_chunks)
+
+    p = tile_size * tile_size
+    px, py = _pixel_grids(tile_size)
+    ox = tile_xy_ref[t, 0].astype(jnp.float32)
+    oy = tile_xy_ref[t, 1].astype(jnp.float32)
+    u = px + ox                      # [P, 1]
+    v = py + oy
+
+    dout = n_color + 6
+    out_ref[0] = jnp.zeros((p, dout), jnp.float32)
+
+    def load_chunk(ci):
+        col = start + ci * CHUNK
+        dma = pltpu.make_async_copy(
+            isect_ref.at[:, pl.ds(col, CHUNK)], buf_ref, sem
+        )
+        dma.start()
+        dma.wait()
+
+    def body(state):
+        (ci, log_t, accum, color, normal, depth_sum, median, crossed,
+         wmax, t_wmax) = state
+        load_chunk(ci)
+        b = buf_ref[:]
+        # Mask lanes beyond the segment.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        valid = (ci * CHUNK + lane) < seg_len            # [1, CHUNK]
+
+        du = u - b[0:1, :]                               # [P, CHUNK]
+        dv = v - b[1:2, :]
+        sigma = 0.5 * (b[2:3] * du * du + b[4:5] * dv * dv) + b[3:4] * du * dv
+        alpha = b[8:9] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
+        alpha = jnp.minimum(alpha, ALPHA_MAX)
+        keep = valid & (alpha >= ALPHA_CUTOFF) & (sigma >= 0.0)
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        log1m = jnp.log1p(-alpha)                        # [P, CHUNK]
+        # Exclusive in-chunk transmittance plus the carry.
+        cum = _cumsum_lanes(log1m)
+        log_t_in = log_t + cum - log1m
+        w = alpha * jnp.exp(log_t_in)                    # [P, CHUNK]
+
+        t_pix = b[5:6] + b[6:7] * du + b[7:8] * dv
+        t_pix = jnp.maximum(t_pix, near_plane)
+
+        color = color + jax.lax.dot_general(
+            w, b[D_BASE : D_BASE + n_color, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        normal = normal + jax.lax.dot_general(
+            w, b[9:12, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        depth_sum = depth_sum + jnp.sum(w * t_pix, axis=1, keepdims=True)
+        # Track the max-weight splat's depth (the XLA path's median
+        # fallback for pixels whose opacity never crosses 0.5).
+        w_chunk_max = jnp.max(w, axis=1, keepdims=True)
+        is_new_max = w_chunk_max > wmax
+        arg_mask = (w == w_chunk_max) & (
+            _cumsum_lanes((w == w_chunk_max).astype(jnp.float32)) < 1.5
+        )
+        t_chunk_at_max = jnp.sum(
+            jnp.where(arg_mask, t_pix, 0.0), axis=1, keepdims=True
+        )
+        t_wmax = jnp.where(is_new_max, t_chunk_at_max, t_wmax)
+        wmax = jnp.maximum(wmax, w_chunk_max)
+
+        # Median: first splat whose accumulated opacity crosses 0.5.
+        acc_in = accum + _cumsum_lanes(w)                # inclusive
+        hit = (acc_in >= 0.5) & jnp.logical_not(crossed)
+        first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
+        median = median + jnp.sum(
+            jnp.where(first, t_pix, 0.0), axis=1, keepdims=True
+        )
+        crossed = crossed | jnp.any(hit, axis=1, keepdims=True)
+
+        accum = accum + jnp.sum(w, axis=1, keepdims=True)
+        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+        return (ci + 1, log_t, accum, color, normal, depth_sum, median,
+                crossed, wmax, t_wmax)
+
+    def cond(state):
+        ci = state[0]
+        log_t = state[1]
+        alive = jnp.max(log_t) > jnp.log(stop_threshold)
+        return jnp.logical_and(ci < n_chunks, alive)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((p, 1), jnp.float32),          # log transmittance
+        jnp.zeros((p, 1), jnp.float32),          # accumulated opacity
+        jnp.zeros((p, n_color), jnp.float32),
+        jnp.zeros((p, 3), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),          # median
+        jnp.zeros((p, 1), jnp.bool_),            # crossed
+        jnp.zeros((p, 1), jnp.float32),          # max weight
+        jnp.zeros((p, 1), jnp.float32),          # depth at max weight
+    )
+    (ci, log_t, accum, color, normal, depth_sum, median, crossed,
+     wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
+
+    alpha_out = -jnp.expm1(log_t)
+    # Median fallback: the max-weight splat's depth (matches the XLA path).
+    median = jnp.where(crossed, median, t_wmax)
+    median = jnp.where(alpha_out > 0.0, median, 0.0)
+
+    out = jnp.concatenate(
+        [color, normal, alpha_out, depth_sum, median], axis=1
+    )
+    out_ref[0] = out
+    nchunks_ref[t, 0] = ci
+
+
+def composite_bwd_kernel(
+    # scalar prefetch
+    starts_ref,            # [T+1]
+    tile_xy_ref,           # [T, 2]
+    # inputs
+    isect_ref,             # [D, M] ANY
+    nchunks_ref,           # [1, 1] SMEM (blocked per tile)
+    g_ref,                 # [1, P, DOUT] VMEM (blocked per tile)
+    # outputs (aliased to a zeros array)
+    d_isect_ref,           # [D, M] ANY
+    # scratch
+    buf_ref,               # [D, CHUNK] VMEM
+    dbuf_ref,              # [D, CHUNK] VMEM
+    logt_in_ref,           # [MAXC, P] VMEM  per-chunk entry log T
+    acc_in_ref,            # [MAXC, P] VMEM  per-chunk entry accum opacity
+    gw_sum_ref,            # [MAXC, P] VMEM  per-chunk sum g_w * w
+    sem,
+    out_sem,
+    *,
+    tile_size: int,
+    n_color: int,
+    near_plane: float,
+    max_chunks: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    seg_len = starts_ref[t + 1] - start
+    nc = nchunks_ref[t, 0]
+
+    p = tile_size * tile_size
+    px, py = _pixel_grids(tile_size)
+    u = px + tile_xy_ref[t, 0].astype(jnp.float32)
+    v = py + tile_xy_ref[t, 1].astype(jnp.float32)
+
+    g = g_ref[0]                                         # [P, DOUT]
+    g_color = g[:, :n_color]
+    g_normal = g[:, n_color : n_color + 3]
+    g_alpha = g[:, n_color + 3 : n_color + 4]
+    g_depth = g[:, n_color + 4 : n_color + 5]
+    g_median = g[:, n_color + 5 : n_color + 6]
+
+    def load_chunk(ci):
+        dma = pltpu.make_async_copy(
+            isect_ref.at[:, pl.ds(start + ci * CHUNK, CHUNK)], buf_ref, sem
+        )
+        dma.start()
+        dma.wait()
+
+    def splat_quantities(ci, b):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        valid = (ci * CHUNK + lane) < seg_len
+        du = u - b[0:1, :]
+        dv = v - b[1:2, :]
+        sigma = 0.5 * (b[2:3] * du * du + b[4:5] * dv * dv) + b[3:4] * du * dv
+        sig_c = jnp.clip(sigma, 0.0, 50.0)
+        raw = b[8:9] * jnp.exp(-sig_c)
+        alpha = jnp.minimum(raw, ALPHA_MAX)
+        keep = valid & (alpha >= ALPHA_CUTOFF) & (sigma >= 0.0)
+        alpha = jnp.where(keep, alpha, 0.0)
+        t_raw = b[5:6] + b[6:7] * du + b[7:8] * dv
+        t_pix = jnp.maximum(t_raw, near_plane)
+        return du, dv, sigma, raw, alpha, keep, t_raw, t_pix
+
+    # ---- Phase 1: forward replay, store per-chunk entry states + g_w.w sums
+    def p1_body(state):
+        ci, log_t, accum, wmax = state
+        load_chunk(ci)
+        b = buf_ref[:]
+        du, dv, _, _, alpha, keep, _, t_pix = splat_quantities(ci, b)
+        log1m = jnp.log1p(-alpha)
+        cum = _cumsum_lanes(log1m)
+        log_t_in = log_t + cum - log1m
+        w = alpha * jnp.exp(log_t_in)
+        g_w = (
+            jax.lax.dot_general(
+                g_color, b[D_BASE : D_BASE + n_color, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                g_normal, b[9:12, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + g_depth * t_pix
+        )
+        logt_in_ref[ci] = log_t[:, 0]
+        acc_in_ref[ci] = accum[:, 0]
+        gw_sum_ref[ci] = jnp.sum(g_w * w, axis=1)
+        wmax = jnp.maximum(wmax, jnp.max(w, axis=1, keepdims=True))
+        accum = accum + jnp.sum(w, axis=1, keepdims=True)
+        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+        return ci + 1, log_t, accum, wmax
+
+    init1 = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+    )
+    _, log_t_fin, acc_fin, wmax_fin = jax.lax.while_loop(
+        lambda s: s[0] < nc, p1_body, init1
+    )
+    t_final = jnp.exp(log_t_fin)                         # [P, 1]
+    crossed_ever = acc_fin >= 0.5
+
+    # ---- Phase 2: forward pass emitting per-chunk input gradients.
+    def p2_body(state):
+        ci, seen_fb = state
+        load_chunk(ci)
+        b = buf_ref[:]
+        du, dv, sigma, raw, alpha, keep, t_raw, t_pix = splat_quantities(ci, b)
+        log1m = jnp.log1p(-alpha)
+        log_t_in_c = logt_in_ref[ci][:, None]
+        acc_in_c = acc_in_ref[ci][:, None]
+        cum = _cumsum_lanes(log1m)
+        log_t_in = log_t_in_c + cum - log1m
+        t_in = jnp.exp(log_t_in)
+        w = alpha * t_in
+
+        g_w = (
+            jax.lax.dot_general(
+                g_color, b[D_BASE : D_BASE + n_color, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                g_normal, b[9:12, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + g_depth * t_pix
+        )
+        gww = g_w * w
+        # Suffix of g_w.w: within-chunk exclusive suffix + later chunks.
+        within = _suffix_lanes(gww)
+        # S_after = sum over chunks > ci of stored sums.
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (max_chunks, 1), 0)
+        later = (cidx > ci) & (cidx < nc)
+        s_after = jnp.sum(
+            jnp.where(later, gw_sum_ref[:, :], 0.0), axis=0
+        )[:, None]                                        # [P, 1]
+        suffix = within + s_after
+
+        inv_1ma = 1.0 / (1.0 - alpha)
+        d_alpha = g_w * t_in - suffix * inv_1ma + g_alpha * t_final * inv_1ma
+        d_alpha = jnp.where(keep, d_alpha, 0.0)
+
+        # Median routing: crossing splat, else max-weight splat.
+        acc_cum = acc_in_c + _cumsum_lanes(w)
+        crossed_in = acc_in_c >= 0.5
+        hit = (acc_cum >= 0.5) & jnp.logical_not(crossed_in)
+        first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
+        cand = (
+            (w == wmax_fin) & (wmax_fin > 0.0)
+            & jnp.logical_not(crossed_ever) & jnp.logical_not(seen_fb)
+        )
+        first_cand = cand & (
+            _cumsum_lanes(cand.astype(jnp.float32)) < 1.5
+        )
+        seen_fb = seen_fb | jnp.any(cand, axis=1, keepdims=True)
+        sel = jnp.where(crossed_ever, first, first_cand)
+        g_t = g_depth * w + jnp.where(sel, g_median, 0.0)
+        g_t = jnp.where(keep & (t_raw > near_plane), g_t, 0.0)
+
+        # alpha -> opacity / conic / mean2d.
+        unclamped = raw < ALPHA_MAX
+        d_raw = jnp.where(unclamped, d_alpha, 0.0)
+        d_sigma = -raw * d_raw                             # [P, CHUNK]
+        d_du = d_sigma * (b[2:3] * du + b[3:4] * dv) + g_t * b[6:7]
+        d_dv = d_sigma * (b[4:5] * dv + b[3:4] * du) + g_t * b[7:8]
+
+        def colsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)      # [1, CHUNK]
+
+        dbuf_ref[0:1, :] = -colsum(d_du)
+        dbuf_ref[1:2, :] = -colsum(d_dv)
+        dbuf_ref[2:3, :] = colsum(0.5 * du * du * d_sigma)
+        dbuf_ref[3:4, :] = colsum(du * dv * d_sigma)
+        dbuf_ref[4:5, :] = colsum(0.5 * dv * dv * d_sigma)
+        dbuf_ref[5:6, :] = colsum(g_t)
+        dbuf_ref[6:7, :] = colsum(g_t * du)
+        dbuf_ref[7:8, :] = colsum(g_t * dv)
+        dbuf_ref[8:9, :] = colsum(jnp.where(keep, d_raw, 0.0) * jnp.exp(
+            -jnp.clip(sigma, 0.0, 50.0)
+        ))
+        dbuf_ref[9:12, :] = jax.lax.dot_general(
+            g_normal, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbuf_ref[D_BASE : D_BASE + n_color, :] = jax.lax.dot_general(
+            g_color, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dma = pltpu.make_async_copy(
+            dbuf_ref,
+            d_isect_ref.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            out_sem,
+        )
+        dma.start()
+        dma.wait()
+        return ci + 1, seen_fb
+
+    jax.lax.while_loop(
+        lambda s: s[0] < nc, p2_body,
+        (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.bool_)),
+    )
+
+
+def composite_tiles_fwd(
+    isect: jax.Array,        # [D, M] packed, sorted by (tile, depth)
+    starts: jax.Array,       # [T+1] int32
+    tile_xy: jax.Array,      # [T, 2] int32 pixel origins
+    tile_size: int,
+    n_color: int,
+    near_plane: float = 0.01,
+    stop_threshold: float = 1e-4,
+    max_chunks: int = 64,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the forward kernel. Returns (packed [T, P, C+6], nchunks [T])."""
+    num_tiles = tile_xy.shape[0]
+    p = tile_size * tile_size
+    dout = n_color + 6
+    d = isect.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, p, dout), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_tiles, 1), lambda t, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        composite_fwd_kernel,
+        tile_size=tile_size,
+        n_color=n_color,
+        near_plane=near_plane,
+        stop_threshold=stop_threshold,
+        max_chunks=max_chunks,
+    )
+    out, nchunks = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, p, dout), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, tile_xy, isect)
+    return out, nchunks[:, 0]
+
+
+def composite_tiles_bwd_call(
+    isect: jax.Array,
+    starts: jax.Array,
+    tile_xy: jax.Array,
+    nchunks: jax.Array,
+    g_packed: jax.Array,
+    tile_size: int,
+    n_color: int,
+    near_plane: float,
+    max_chunks: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the backward kernel; returns d_isect [D, M]."""
+    num_tiles = tile_xy.shape[0]
+    p = tile_size * tile_size
+    dout = n_color + 6
+    d = isect.shape[0]
+    zeros = jnp.zeros_like(isect)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # isect
+            pl.BlockSpec((num_tiles, 1), lambda t, *_: (0, 0),
+                         memory_space=pltpu.SMEM),           # nchunks
+            pl.BlockSpec((1, p, dout), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),           # g
+            pl.BlockSpec(memory_space=pl.ANY),            # zeros (alias)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((d, CHUNK), jnp.float32),
+            pltpu.VMEM((d, CHUNK), jnp.float32),
+            pltpu.VMEM((max_chunks, p), jnp.float32),
+            pltpu.VMEM((max_chunks, p), jnp.float32),
+            pltpu.VMEM((max_chunks, p), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        composite_bwd_kernel,
+        tile_size=tile_size,
+        n_color=n_color,
+        near_plane=near_plane,
+        max_chunks=max_chunks,
+    )
+
+    def kernel_with_alias(starts_ref, tile_xy_ref, isect_ref, nchunks_ref,
+                          g_ref, zeros_ref, d_out_ref, *scratch):
+        kernel(starts_ref, tile_xy_ref, isect_ref, nchunks_ref, g_ref,
+               d_out_ref, *scratch)
+
+    return pl.pallas_call(
+        kernel_with_alias,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(isect.shape, jnp.float32),
+        input_output_aliases={5: 0},  # zeros input -> d_isect output
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, tile_xy, isect, nchunks[:, None], g_packed, zeros)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
+)
+def composite_tiles(
+    isect, starts, tile_xy,
+    tile_size: int, n_color: int, near_plane: float,
+    stop_threshold: float, max_chunks: int, interpret: bool,
+):
+    """Differentiable fused compositing: packed [T, P, C+6] per-tile maps.
+
+    Gradients flow to ``isect`` only (binning indices are integer data).
+    """
+    out, _ = composite_tiles_fwd(
+        isect, starts, tile_xy, tile_size, n_color,
+        near_plane=near_plane, stop_threshold=stop_threshold,
+        max_chunks=max_chunks, interpret=interpret,
+    )
+    return out
+
+
+def _composite_tiles_jvp_fwd(isect, starts, tile_xy, tile_size, n_color,
+                             near_plane, stop_threshold, max_chunks,
+                             interpret):
+    out, nchunks = composite_tiles_fwd(
+        isect, starts, tile_xy, tile_size, n_color,
+        near_plane=near_plane, stop_threshold=stop_threshold,
+        max_chunks=max_chunks, interpret=interpret,
+    )
+    return out, (isect, starts, tile_xy, nchunks)
+
+
+def _composite_tiles_bwd(tile_size, n_color, near_plane, stop_threshold,
+                         max_chunks, interpret, res, g):
+    isect, starts, tile_xy, nchunks = res
+    d_isect = composite_tiles_bwd_call(
+        isect, starts, tile_xy, nchunks, g,
+        tile_size, n_color, near_plane, max_chunks, interpret,
+    )
+    return d_isect, None, None
+
+
+composite_tiles.defvjp(_composite_tiles_jvp_fwd, _composite_tiles_bwd)

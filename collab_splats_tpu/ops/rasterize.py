@@ -37,6 +37,125 @@ from ..core.projection import Projection, project_gaussians
 from .tiles import TileBins, bin_gaussians
 
 
+def pack_intersections(
+    proj: Projection,
+    opac: jax.Array,
+    colors: jax.Array,
+    normal_cam: jax.Array,
+    sorted_gid: jax.Array,
+) -> jax.Array:
+    """Build the packed per-intersection matrix [D, M] consumed by the
+    Pallas compositing kernel (row layout in ops/pallas/composite.py).
+
+    One XLA gather in intersection order; its transpose (VJP) is exactly the
+    per-Gaussian scatter-add that routes pixel gradients back from
+    intersections to Gaussians.
+    """
+    per_gauss = jnp.concatenate(
+        [
+            proj.mean2d,                       # 0:2
+            proj.conic,                        # 2:5
+            proj.depth[:, None],               # 5
+            proj.plane,                        # 6:8
+            opac[:, None],                     # 8
+            normal_cam,                        # 9:12
+            colors,                            # 12:
+        ],
+        axis=1,
+    )
+    return per_gauss[sorted_gid].T
+
+
+def render_tiled_pallas(
+    means: jax.Array,
+    quats: jax.Array,
+    scales: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    camera: Camera,
+    opts: RenderOptions = RenderOptions(),
+    normals_world: Optional[jax.Array] = None,
+    stop_threshold: float = 1e-4,
+    interpret: bool = False,
+) -> tuple[RenderOutput, "RenderMeta"]:
+    """Pallas-kernel render path (forward).
+
+    Same contract as :func:`render_tiled`; compositing runs in the fused
+    per-tile TPU kernel (ops/pallas/composite.py) over contiguous packed
+    intersection segments, with transmittance early exit.  Use
+    ``interpret=True`` on CPU for tests.
+    """
+    from .pallas.composite import CHUNK, composite_tiles
+
+    viewmat = camera.viewmat()
+    proj = project_gaussians(
+        means, quats, scales, viewmat, camera.K,
+        camera.width, camera.height,
+        eps2d=opts.eps2d, near_plane=opts.near_plane,
+        far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+    )
+    opac = opacities
+    if opts.rasterize_mode == "antialiased":
+        opac = opac * proj.compensation
+    if normals_world is not None:
+        normal_cam = normals_world @ viewmat[:3, :3].T
+    else:
+        normal_cam = proj.normal
+
+    bins = bin_gaussians(proj, camera.width, camera.height, opts)
+    ts = opts.tile_size
+    ntx, nty = bins.num_tiles_x, bins.num_tiles_y
+    num_tiles = ntx * nty
+    n_color = colors.shape[-1]
+
+    isect = pack_intersections(proj, opac, colors, normal_cam, bins.sorted_gid)
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_xy = jnp.stack(
+        [(tile_ids % ntx) * ts, (tile_ids // ntx) * ts], axis=1
+    )
+    from .tiles import default_tile_capacity
+
+    k_cap = opts.tile_capacity or default_tile_capacity(means.shape[0])
+    max_chunks = max(-(-k_cap // CHUNK), 1)
+
+    packed = composite_tiles(
+        isect, bins.starts, tile_xy, ts, n_color,
+        opts.near_plane, stop_threshold, max_chunks, interpret,
+    )
+
+    def stitch(x):
+        ch = x.shape[2:]
+        x = x.reshape((nty, ntx, ts, ts) + ch)
+        x = jnp.swapaxes(x, 1, 2).reshape((nty * ts, ntx * ts) + ch)
+        return x[: camera.height, : camera.width]
+
+    p = ts * ts
+    packed_img = packed.reshape(num_tiles, p, n_color + 6)
+    color = stitch(packed_img[..., :n_color])
+    normal = stitch(packed_img[..., n_color : n_color + 3])
+    alpha = stitch(packed_img[..., n_color + 3])
+    depth_sum = stitch(packed_img[..., n_color + 4])
+    median = stitch(packed_img[..., n_color + 5])
+    if opts.normalize_depth:
+        depth = depth_sum / jnp.clip(alpha, 1e-10, None)
+    else:
+        depth = depth_sum
+
+    seg_len = bins.starts[1:] - bins.starts[:-1]
+    kernel_spill = jnp.sum(jnp.maximum(seg_len - max_chunks * CHUNK, 0))
+    out = RenderOutput(
+        color=color,
+        alpha=alpha,
+        depth=depth,
+        median_depth=median,
+        normal=normal,
+        spilled=bins.spilled + kernel_spill.astype(jnp.int32),
+    )
+    meta = RenderMeta(proj=proj, bins=bins, width=camera.width,
+                      height=camera.height)
+    return out, meta
+
+
 class RenderMeta(NamedTuple):
     """Side info for the densification strategy, mirroring the gsplat `info`
     dict keys consumed by the reference (utils/utils.py:19-33: width, height,

@@ -1,0 +1,111 @@
+"""Pallas kernel tests (interpret mode on CPU): pixel + gradient parity
+against the XLA tiled path, which itself matches the golden renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collab_splats_tpu.core.options import RenderOptions
+from collab_splats_tpu.core.sh import sh0_to_rgb
+from collab_splats_tpu.data.synthetic import orbit_cameras, random_gaussian_params
+from collab_splats_tpu.ops.rasterize import render_tiled, render_tiled_pallas
+
+
+def _scene(n=200, w=48, h=48, key=2):
+    cam = orbit_cameras(1, radius=2.5, width=w, height=h, focal=1.4 * w)[0]
+    p = random_gaussian_params(jax.random.PRNGKey(key), n, extent=0.7)
+    return cam, (
+        p["means"], p["scales"], p["quats"], p["opacities"], p["features_dc"]
+    )
+
+
+OPTS = RenderOptions(tile_capacity=256, max_intersections=1 << 14)
+
+
+class TestPallasForward:
+    @pytest.mark.parametrize("mode", ["classic", "antialiased"])
+    def test_exact_pixel_parity(self, mode):
+        cam, (m, ls, q, op, dc) = _scene()
+        opts = RenderOptions(rasterize_mode=mode, tile_capacity=256,
+                             max_intersections=1 << 14)
+        s, o, c = jnp.exp(ls), jax.nn.sigmoid(op[:, 0]), sh0_to_rgb(dc)
+        ref, _ = render_tiled(m, q, s, o, c, cam, opts)
+        out, _ = render_tiled_pallas(
+            m, q, s, o, c, cam, opts, stop_threshold=0.0, interpret=True
+        )
+        # ulp-level differences come from the kernel's matmul-based lane
+        # cumsum vs XLA's scan-based cumsum.
+        for name in ("color", "alpha", "depth", "median_depth", "normal"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+                atol=2e-6, err_msg=f"pallas/{name} != xla/{name}",
+            )
+
+    def test_early_exit_close(self):
+        # With the saturation early-exit enabled, outputs may differ only
+        # below the stop threshold.
+        cam, (m, ls, q, op, dc) = _scene(n=400)
+        s, o, c = jnp.exp(ls), jax.nn.sigmoid(op[:, 0] + 3.0), sh0_to_rgb(dc)
+        ref, _ = render_tiled(m, q, s, o, c, cam, OPTS)
+        out, _ = render_tiled_pallas(
+            m, q, s, o, c, cam, OPTS, stop_threshold=1e-4, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.color), np.asarray(ref.color), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.alpha), np.asarray(ref.alpha), atol=2e-4
+        )
+
+    def test_nd_features_channels(self):
+        cam, (m, ls, q, op, dc) = _scene(n=100)
+        s, o = jnp.exp(ls), jax.nn.sigmoid(op[:, 0])
+        c16 = jnp.concatenate(
+            [sh0_to_rgb(dc),
+             jax.random.normal(jax.random.PRNGKey(7), (100, 13))], axis=1
+        )
+        ref, _ = render_tiled(m, q, s, o, c16, cam, OPTS)
+        out, _ = render_tiled_pallas(
+            m, q, s, o, c16, cam, OPTS, stop_threshold=0.0, interpret=True
+        )
+        assert out.color.shape[-1] == 16
+        np.testing.assert_allclose(np.asarray(out.color),
+                                   np.asarray(ref.color), atol=2e-6)
+
+
+class TestPallasBackward:
+    def test_gradient_parity(self):
+        cam, (m, ls, q, op, dc) = _scene(n=150, key=4)
+        target = jax.random.uniform(jax.random.PRNGKey(5), (48, 48, 3))
+
+        def mk_loss(render_fn):
+            def loss(means, log_scales, quats, opac_raw, dcc):
+                out = render_fn(
+                    means, quats, jnp.exp(log_scales),
+                    jax.nn.sigmoid(opac_raw[:, 0]), sh0_to_rgb(dcc),
+                )
+                return (
+                    jnp.mean((out.color - target) ** 2)
+                    + 0.05 * jnp.mean(out.depth * target[..., 0])
+                    + 0.05 * jnp.mean(out.normal * target)
+                    + 0.05 * jnp.mean(out.alpha)
+                    + 0.02 * jnp.mean(out.median_depth * target[..., 1])
+                )
+            return loss
+
+        ref_fn = lambda *a: render_tiled(*a, cam, OPTS)[0]
+        pal_fn = lambda *a: render_tiled_pallas(
+            *a, cam, OPTS, stop_threshold=0.0, interpret=True
+        )[0]
+        args = (m, ls, q, op, dc)
+        g_ref = jax.grad(mk_loss(ref_fn), argnums=tuple(range(5)))(*args)
+        g_pal = jax.grad(mk_loss(pal_fn), argnums=tuple(range(5)))(*args)
+        for gr, gp, name in zip(
+            g_ref, g_pal, ("means", "scales", "quats", "opac", "dc")
+        ):
+            scale = np.abs(np.asarray(gr)).max() + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(gp) / scale, np.asarray(gr) / scale,
+                atol=1e-5, err_msg=f"gradient mismatch on {name}",
+            )
