@@ -27,6 +27,14 @@ class RenderOptions:
     max_intersections: int | None = None   # global (gaussian, tile) pair budget
     tile_capacity: int | None = None       # per-tile front-to-back splat budget
 
+    # Compositing backend: "xla" (dense windows, pure autodiff) or "pallas"
+    # (fused per-tile kernel with custom VJP + transmittance early exit).
+    backend: str = "xla"
+    stop_threshold: float = 1e-4           # pallas early-exit (0 disables)
+    pallas_interpret: bool = False         # interpreter mode (CPU tests)
+
     def __post_init__(self):
         if self.rasterize_mode not in ("classic", "antialiased"):
             raise ValueError(f"Unknown rasterize_mode: {self.rasterize_mode}")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"Unknown backend: {self.backend}")

@@ -119,16 +119,27 @@ def get_outputs(
     "normal_cam" (raw camera-space accumulated normal).
     """
     colors = compute_colors(params, camera, step, config)
-    out, meta = render_tiled(
-        params["means"],
-        params["quats"],
-        activated_scales(params),
-        activated_opacity(params, alive),
-        colors,
-        camera,
-        config.render,
-        absgrad_sink=absgrad_sink,
-    )
+    if config.render.backend == "pallas":
+        from ..ops.rasterize import render_tiled_pallas
+
+        out, meta = render_tiled_pallas(
+            params["means"], params["quats"], activated_scales(params),
+            activated_opacity(params, alive), colors, camera, config.render,
+            absgrad_sink=absgrad_sink,
+            stop_threshold=config.render.stop_threshold,
+            interpret=config.render.pallas_interpret,
+        )
+    else:
+        out, meta = render_tiled(
+            params["means"],
+            params["quats"],
+            activated_scales(params),
+            activated_opacity(params, alive),
+            colors,
+            camera,
+            config.render,
+            absgrad_sink=absgrad_sink,
+        )
 
     bg = background_color(config, rng, training)
     rgb = jnp.clip(out.color[..., :3] + (1.0 - out.alpha[..., None]) * bg, 0.0, 1.0)

@@ -82,8 +82,9 @@ def _suffix_lanes(x: jax.Array) -> jax.Array:
 
 def _pixel_grids(tile_size: int):
     p = tile_size * tile_size
-    px = (jax.lax.broadcasted_iota(jnp.float32, (p, 1), 0) % tile_size) + 0.5
-    py = (jax.lax.broadcasted_iota(jnp.float32, (p, 1), 0) // tile_size) + 0.5
+    idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)  # Mosaic: int iota only
+    px = (idx % tile_size).astype(jnp.float32) + 0.5
+    py = (idx // tile_size).astype(jnp.float32) + 0.5
     return px, py
 
 
@@ -214,7 +215,7 @@ def composite_fwd_kernel(
     (ci, log_t, accum, color, normal, depth_sum, median, crossed,
      wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
 
-    alpha_out = -jnp.expm1(log_t)
+    alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
     # Median fallback: the max-weight splat's depth (matches the XLA path).
     median = jnp.where(crossed, median, t_wmax)
     median = jnp.where(alpha_out > 0.0, median, 0.0)

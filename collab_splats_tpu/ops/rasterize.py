@@ -75,15 +75,22 @@ def render_tiled_pallas(
     camera: Camera,
     opts: RenderOptions = RenderOptions(),
     normals_world: Optional[jax.Array] = None,
+    absgrad_sink: Optional[jax.Array] = None,
     stop_threshold: float = 1e-4,
     interpret: bool = False,
 ) -> tuple[RenderOutput, "RenderMeta"]:
-    """Pallas-kernel render path (forward).
+    """Pallas-kernel render path.
 
     Same contract as :func:`render_tiled`; compositing runs in the fused
     per-tile TPU kernel (ops/pallas/composite.py) over contiguous packed
     intersection segments, with transmittance early exit.  Use
     ``interpret=True`` on CPU for tests.
+
+    ``absgrad_sink`` here is **per-intersection**: shape [2, M] zeros added
+    to the packed 2D-mean rows, so its cotangent is the exact per-(tile,
+    splat) screen-space gradient (consumed by
+    ``train.strategy.update_state_from_isect``).  Use
+    :func:`pallas_sink_shape` for the shape.
     """
     from .pallas.composite import CHUNK, composite_tiles
 
@@ -109,6 +116,8 @@ def render_tiled_pallas(
     n_color = colors.shape[-1]
 
     isect = pack_intersections(proj, opac, colors, normal_cam, bins.sorted_gid)
+    if absgrad_sink is not None:
+        isect = isect.at[0:2, :].add(absgrad_sink)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_xy = jnp.stack(
         [(tile_ids % ntx) * ts, (tile_ids // ntx) * ts], axis=1
@@ -165,6 +174,14 @@ class RenderMeta(NamedTuple):
     bins: TileBins
     width: int
     height: int
+
+
+def pallas_sink_shape(n: int, opts: RenderOptions):
+    """Shape of the per-intersection absgrad sink for the Pallas path."""
+    from .tiles import default_max_intersections
+
+    m = opts.max_intersections or default_max_intersections(n)
+    return (2, m)
 
 
 def absgrad_sink_shape(width: int, height: int, n: int, opts: RenderOptions):

@@ -121,6 +121,35 @@ def update_state(
     )
 
 
+def update_state_from_isect(
+    state: StrategyState,
+    meta: RenderMeta,
+    sink_grad: jax.Array,
+) -> StrategyState:
+    """Like :func:`update_state` but for the Pallas path's per-intersection
+    sink cotangent [2, M]; intersections map to Gaussians via
+    ``meta.bins.sorted_gid`` (segments never overlap, so a plain
+    scatter-add accumulates the absgrad statistic)."""
+    c = state.grad_accum.shape[0]
+    gid = meta.bins.sorted_gid
+    bounds = meta.bins.starts
+    m = gid.shape[0]
+    # Only slots inside real tile segments carry gradients; the backward
+    # kernel zero-fills the rest, so an unmasked scatter-add is safe.
+    g = jnp.abs(sink_grad)
+    gu = jnp.zeros((c,), jnp.float32).at[gid].add(g[0], mode="drop")
+    gv = jnp.zeros((c,), jnp.float32).at[gid].add(g[1], mode="drop")
+    scale = 0.5 * max(meta.width, meta.height)
+    grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
+    visible = meta.proj.valid
+    radii_frac = meta.proj.radius / float(max(meta.width, meta.height))
+    return StrategyState(
+        grad_accum=state.grad_accum + grad_ndc,
+        count=state.count + visible.astype(jnp.float32),
+        max_radii=jnp.maximum(state.max_radii, radii_frac),
+    )
+
+
 def reset_opacity(params: GaussianParams, cfg: StrategyConfig) -> GaussianParams:
     """Clamp opacities to at most 2 * cull_alpha_thresh (Splatfacto reset)."""
     cap = 2.0 * cfg.cull_alpha_thresh

@@ -107,12 +107,15 @@ class Trainer:
     ):
         cfg = self.config.model
         bg_key, split_key = jax.random.split(key)
-        sink = jnp.zeros(
-            absgrad_sink_shape(
+        if cfg.render.backend == "pallas":
+            from ..ops.rasterize import pallas_sink_shape
+
+            sink_shape = pallas_sink_shape(alive.shape[0], cfg.render)
+        else:
+            sink_shape = absgrad_sink_shape(
                 camera.width, camera.height, alive.shape[0], cfg.render
-            ),
-            jnp.float32,
-        )
+            )
+        sink = jnp.zeros(sink_shape, jnp.float32)
 
         def loss_fn(p, snk):
             outputs, meta = rade_gs.get_outputs(
@@ -138,7 +141,12 @@ class Trainer:
 
         updates, opt_state = self.optimizer.update(pgrads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        strat_state = strategy.update_state(strat_state, meta, sink_grad)
+        if cfg.render.backend == "pallas":
+            strat_state = strategy.update_state_from_isect(
+                strat_state, meta, sink_grad
+            )
+        else:
+            strat_state = strategy.update_state(strat_state, meta, sink_grad)
 
         metrics = {
             "loss": loss,
