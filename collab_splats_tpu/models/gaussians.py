@@ -23,6 +23,10 @@ from ..core.sh import num_sh_bases, rgb_to_sh0
 
 GaussianParams = Dict[str, jax.Array]
 
+# Parameter-dict entries that are NOT per-Gaussian capacity arrays (skipped
+# by padding / refinement row machinery).
+NON_GAUSSIAN_KEYS = ("decoder", "camera_opt")
+
 
 def init_from_points(
     points: jax.Array,
@@ -98,7 +102,7 @@ def pad_to_capacity(params: GaussianParams, capacity: int) -> GaussianParams:
         return jnp.pad(x, pad_width)
 
     return {
-        k: (v if isinstance(v, dict) else pad(k, v))
+        k: (v if isinstance(v, dict) or k in NON_GAUSSIAN_KEYS else pad(k, v))
         for k, v in params.items()
     }
 

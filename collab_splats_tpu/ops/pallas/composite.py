@@ -90,7 +90,8 @@ def _pixel_grids(tile_size: int):
 
 def composite_fwd_kernel(
     # scalar prefetch
-    starts_ref,            # [T+1] int32 segment starts into the M axis
+    starts_ref,            # [T+1] int32 CHUNK-aligned segment starts
+    lens_ref,              # [T] int32 true segment lengths
     tile_xy_ref,           # [T, 2] int32 tile origin in pixels
     # inputs
     isect_ref,             # [D, M] f32 in ANY/HBM
@@ -108,9 +109,8 @@ def composite_fwd_kernel(
     max_chunks: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
-    end = starts_ref[t + 1]
-    seg_len = end - start
+    start = pl.multiple_of(starts_ref[t], CHUNK)
+    seg_len = lens_ref[t]
     n_chunks = jnp.minimum(pl.cdiv(seg_len, CHUNK), max_chunks)
 
     p = tile_size * tile_size
@@ -229,7 +229,8 @@ def composite_fwd_kernel(
 
 def composite_bwd_kernel(
     # scalar prefetch
-    starts_ref,            # [T+1]
+    starts_ref,            # [T+1] CHUNK-aligned
+    lens_ref,              # [T] true lengths
     tile_xy_ref,           # [T, 2]
     # inputs
     isect_ref,             # [D, M] ANY
@@ -252,8 +253,8 @@ def composite_bwd_kernel(
     max_chunks: int,
 ):
     t = pl.program_id(0)
-    start = starts_ref[t]
-    seg_len = starts_ref[t + 1] - start
+    start = pl.multiple_of(starts_ref[t], CHUNK)
+    seg_len = lens_ref[t]
     nc = nchunks_ref[t, 0]
 
     p = tile_size * tile_size
@@ -435,8 +436,9 @@ def composite_bwd_kernel(
 
 
 def composite_tiles_fwd(
-    isect: jax.Array,        # [D, M] packed, sorted by (tile, depth)
-    starts: jax.Array,       # [T+1] int32
+    isect: jax.Array,        # [D, M] packed, tile segments CHUNK-aligned
+    starts: jax.Array,       # [T+1] int32, multiples of CHUNK
+    lens: jax.Array,         # [T] int32 true segment lengths
     tile_xy: jax.Array,      # [T, 2] int32 pixel origins
     tile_size: int,
     n_color: int,
@@ -452,7 +454,7 @@ def composite_tiles_fwd(
     d = isect.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -482,13 +484,14 @@ def composite_tiles_fwd(
             jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, tile_xy, isect)
+    )(starts, lens, tile_xy, isect)
     return out, nchunks[:, 0]
 
 
 def composite_tiles_bwd_call(
     isect: jax.Array,
     starts: jax.Array,
+    lens: jax.Array,
     tile_xy: jax.Array,
     nchunks: jax.Array,
     g_packed: jax.Array,
@@ -506,7 +509,7 @@ def composite_tiles_bwd_call(
     zeros = jnp.zeros_like(isect)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),           # isect
@@ -535,26 +538,26 @@ def composite_tiles_bwd_call(
         max_chunks=max_chunks,
     )
 
-    def kernel_with_alias(starts_ref, tile_xy_ref, isect_ref, nchunks_ref,
-                          g_ref, zeros_ref, d_out_ref, *scratch):
-        kernel(starts_ref, tile_xy_ref, isect_ref, nchunks_ref, g_ref,
-               d_out_ref, *scratch)
+    def kernel_with_alias(starts_ref, lens_ref, tile_xy_ref, isect_ref,
+                          nchunks_ref, g_ref, zeros_ref, d_out_ref, *scratch):
+        kernel(starts_ref, lens_ref, tile_xy_ref, isect_ref, nchunks_ref,
+               g_ref, d_out_ref, *scratch)
 
     return pl.pallas_call(
         kernel_with_alias,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(isect.shape, jnp.float32),
-        input_output_aliases={5: 0},  # zeros input -> d_isect output
+        input_output_aliases={6: 0},  # zeros input -> d_isect output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, tile_xy, isect, nchunks[:, None], g_packed, zeros)
+    )(starts, lens, tile_xy, isect, nchunks[:, None], g_packed, zeros)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
 def composite_tiles(
-    isect, starts, tile_xy,
+    isect, starts, lens, tile_xy,
     tile_size: int, n_color: int, near_plane: float,
     stop_threshold: float, max_chunks: int, interpret: bool,
 ):
@@ -563,32 +566,32 @@ def composite_tiles(
     Gradients flow to ``isect`` only (binning indices are integer data).
     """
     out, _ = composite_tiles_fwd(
-        isect, starts, tile_xy, tile_size, n_color,
+        isect, starts, lens, tile_xy, tile_size, n_color,
         near_plane=near_plane, stop_threshold=stop_threshold,
         max_chunks=max_chunks, interpret=interpret,
     )
     return out
 
 
-def _composite_tiles_jvp_fwd(isect, starts, tile_xy, tile_size, n_color,
-                             near_plane, stop_threshold, max_chunks,
+def _composite_tiles_jvp_fwd(isect, starts, lens, tile_xy, tile_size,
+                             n_color, near_plane, stop_threshold, max_chunks,
                              interpret):
     out, nchunks = composite_tiles_fwd(
-        isect, starts, tile_xy, tile_size, n_color,
+        isect, starts, lens, tile_xy, tile_size, n_color,
         near_plane=near_plane, stop_threshold=stop_threshold,
         max_chunks=max_chunks, interpret=interpret,
     )
-    return out, (isect, starts, tile_xy, nchunks)
+    return out, (isect, starts, lens, tile_xy, nchunks)
 
 
 def _composite_tiles_bwd(tile_size, n_color, near_plane, stop_threshold,
                          max_chunks, interpret, res, g):
-    isect, starts, tile_xy, nchunks = res
+    isect, starts, lens, tile_xy, nchunks = res
     d_isect = composite_tiles_bwd_call(
-        isect, starts, tile_xy, nchunks, g,
+        isect, starts, lens, tile_xy, nchunks, g,
         tile_size, n_color, near_plane, max_chunks, interpret,
     )
-    return d_isect, None, None
+    return d_isect, None, None, None
 
 
 composite_tiles.defvjp(_composite_tiles_jvp_fwd, _composite_tiles_bwd)

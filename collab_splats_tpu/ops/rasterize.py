@@ -63,6 +63,11 @@ def pack_intersections(
         ],
         axis=1,
     )
+    # Mosaic DMA slices must be sublane-aligned: pad channels to 8.
+    d = per_gauss.shape[1]
+    pad = (-d) % 8
+    if pad:
+        per_gauss = jnp.pad(per_gauss, ((0, 0), (0, pad)))
     return per_gauss[sorted_gid].T
 
 
@@ -115,20 +120,23 @@ def render_tiled_pallas(
     num_tiles = ntx * nty
     n_color = colors.shape[-1]
 
-    isect = pack_intersections(proj, opac, colors, normal_cam, bins.sorted_gid)
+    from .tiles import align_segments, default_tile_capacity
+
+    aligned_gid, aligned_starts, lens = align_segments(
+        bins.starts, bins.sorted_gid, CHUNK
+    )
+    isect = pack_intersections(proj, opac, colors, normal_cam, aligned_gid)
     if absgrad_sink is not None:
         isect = isect.at[0:2, :].add(absgrad_sink)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_xy = jnp.stack(
         [(tile_ids % ntx) * ts, (tile_ids // ntx) * ts], axis=1
     )
-    from .tiles import default_tile_capacity
-
     k_cap = opts.tile_capacity or default_tile_capacity(means.shape[0])
     max_chunks = max(-(-k_cap // CHUNK), 1)
 
     packed = composite_tiles(
-        isect, bins.starts, tile_xy, ts, n_color,
+        isect, aligned_starts, lens, tile_xy, ts, n_color,
         opts.near_plane, stop_threshold, max_chunks, interpret,
     )
 
@@ -150,8 +158,7 @@ def render_tiled_pallas(
     else:
         depth = depth_sum
 
-    seg_len = bins.starts[1:] - bins.starts[:-1]
-    kernel_spill = jnp.sum(jnp.maximum(seg_len - max_chunks * CHUNK, 0))
+    kernel_spill = jnp.sum(jnp.maximum(lens - max_chunks * CHUNK, 0))
     out = RenderOutput(
         color=color,
         alpha=alpha,
@@ -161,7 +168,7 @@ def render_tiled_pallas(
         spilled=bins.spilled + kernel_spill.astype(jnp.int32),
     )
     meta = RenderMeta(proj=proj, bins=bins, width=camera.width,
-                      height=camera.height)
+                      height=camera.height, aligned_gid=aligned_gid)
     return out, meta
 
 
@@ -174,14 +181,19 @@ class RenderMeta(NamedTuple):
     bins: TileBins
     width: int
     height: int
+    aligned_gid: Optional[jax.Array] = None
 
 
-def pallas_sink_shape(n: int, opts: RenderOptions):
-    """Shape of the per-intersection absgrad sink for the Pallas path."""
+def pallas_sink_shape(n: int, opts: RenderOptions, width: int, height: int):
+    """Shape of the per-intersection absgrad sink for the Pallas path
+    (aligned layout: M + num_tiles * CHUNK columns)."""
+    from .pallas.composite import CHUNK
     from .tiles import default_max_intersections
 
     m = opts.max_intersections or default_max_intersections(n)
-    return (2, m)
+    ts = opts.tile_size
+    num_tiles = (-(-width // ts)) * (-(-height // ts))
+    return (2, m + num_tiles * CHUNK)
 
 
 def absgrad_sink_shape(width: int, height: int, n: int, opts: RenderOptions):

@@ -53,6 +53,45 @@ def default_tile_capacity(n: int) -> int:
     return cap
 
 
+def align_segments(
+    bounds: jax.Array,
+    sorted_gid: jax.Array,
+    chunk: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Re-lay the sorted intersection list so every tile's segment starts on
+    a ``chunk`` boundary (Mosaic DMA offsets must be lane-aligned).
+
+    Args:
+        bounds: [T+1] tight segment bounds into ``sorted_gid``.
+        sorted_gid: [M] gaussian ids sorted by (tile, depth).
+        chunk: alignment quantum (the kernel's CHUNK).
+
+    Returns:
+        (aligned_gid [M + T*chunk], aligned_starts [T+1] all multiples of
+        ``chunk``, lens [T] true per-tile lengths).  Padding slots replicate
+        id 0; the kernel masks lanes beyond ``lens``.
+    """
+    num_tiles = bounds.shape[0] - 1
+    m = sorted_gid.shape[0]
+    lens = bounds[1:] - bounds[:-1]
+    padded = -(-lens // chunk) * chunk
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+    m_al = m + num_tiles * chunk
+    slots = jnp.arange(m_al, dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(aligned_starts, slots, side="right").astype(jnp.int32)
+        - 1,
+        0, num_tiles - 1,
+    )
+    r = slots - aligned_starts[t]
+    valid = r < lens[t]
+    src = jnp.clip(bounds[t] + r, 0, m - 1)
+    aligned_gid = jnp.where(valid, sorted_gid[src], 0)
+    return aligned_gid, aligned_starts, lens
+
+
 def tile_bbox(proj: Projection, num_tiles_x: int, num_tiles_y: int, tile_size: int):
     """Inclusive tile-coordinate bbox per Gaussian, clamped to the grid."""
     u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]

@@ -379,6 +379,22 @@ class Splatter:
             return exporter.main(dm.train_cameras, output_dir=out)
         if mesher_type in ("GaussiansToPoisson",):
             return GaussiansToPoissonExporter(params, alive, model_cfg).main(out)
+        if mesher_type in ("LevelSetExtractor", "MarchingCubesMesh"):
+            from ..meshing.exporters import LevelSetExtractor
+
+            known = {"level", "resolution"}
+            return LevelSetExtractor(
+                params, alive, model_cfg,
+                **{k: v for k, v in mesher_kwargs.items() if k in known},
+            ).main(output_dir=out)
+        if mesher_type in ("DepthAndNormalMapsPoisson",):
+            from ..meshing.exporters import DepthAndNormalMapsPoissonExporter
+
+            known = {"depth_name", "alpha_thresh", "stride"}
+            return DepthAndNormalMapsPoissonExporter(
+                params, alive, model_cfg,
+                **{k: v for k, v in mesher_kwargs.items() if k in known},
+            ).main(dm.train_cameras, output_dir=out)
         raise ValidationError(f"Unknown mesher_type: {mesher_type}")
 
     # -------------------------------------------------------------- querying

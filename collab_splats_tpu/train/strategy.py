@@ -131,9 +131,10 @@ def update_state_from_isect(
     ``meta.bins.sorted_gid`` (segments never overlap, so a plain
     scatter-add accumulates the absgrad statistic)."""
     c = state.grad_accum.shape[0]
-    gid = meta.bins.sorted_gid
-    bounds = meta.bins.starts
-    m = gid.shape[0]
+    gid = (
+        meta.aligned_gid if meta.aligned_gid is not None
+        else meta.bins.sorted_gid
+    )
     # Only slots inside real tile segments carry gradients; the backward
     # kernel zero-fills the rest, so an unmasked scatter-add is safe.
     g = jnp.abs(sink_grad)
@@ -232,6 +233,8 @@ def refine(
     new_params = dict(params)
     written = jnp.zeros((c,), bool)
 
+    from ..models.gaussians import NON_GAUSSIAN_KEYS
+
     def is_gauss_array(v):
         return hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == c
 
@@ -239,7 +242,7 @@ def refine(
         safe_t = jnp.where(targets < c, targets, c)
         out = {}
         for k, v in dst_params.items():
-            if is_gauss_array(v):
+            if k not in NON_GAUSSIAN_KEYS and is_gauss_array(v):
                 out[k] = v.at[safe_t].set(source_params[k], mode="drop")
             else:  # e.g. nested decoder subtree: untouched by refinement
                 out[k] = v

@@ -49,6 +49,7 @@ class TrainerConfig:
     scene_scale: float = 1.0
     capacity_headroom: float = 1.5   # grow arrays when occupancy * this > C
     seed: int = 42
+    optimize_camera_poses: bool = False  # per-camera SO3xR3 deltas
 
 
 class Trainer:
@@ -79,7 +80,14 @@ class Trainer:
         )
         self.params = params
         self.alive = alive
-        self.groups = groups or optim.RADE_GS_GROUPS
+        self.groups = dict(groups or optim.RADE_GS_GROUPS)
+        if config.optimize_camera_poses and "camera_opt" not in self.params:
+            from . import camera_opt as co
+
+            self.params = dict(self.params)
+            self.params["camera_opt"] = co.init_camera_opt(len(cameras))
+            self.groups["camera_opt"] = co.CAMERA_OPT_GROUP
+            params = self.params
         self.optimizer = optim.make_optimizer(
             self.groups, optim.default_labels(params)
         )
@@ -103,6 +111,7 @@ class Trainer:
         camera: Camera,
         image,
         features_gt,
+        cam_idx,
         reg_active: bool,
     ):
         cfg = self.config.model
@@ -110,7 +119,9 @@ class Trainer:
         if cfg.render.backend == "pallas":
             from ..ops.rasterize import pallas_sink_shape
 
-            sink_shape = pallas_sink_shape(alive.shape[0], cfg.render)
+            sink_shape = pallas_sink_shape(
+                alive.shape[0], cfg.render, camera.width, camera.height
+            )
         else:
             sink_shape = absgrad_sink_shape(
                 camera.width, camera.height, alive.shape[0], cfg.render
@@ -118,8 +129,13 @@ class Trainer:
         sink = jnp.zeros(sink_shape, jnp.float32)
 
         def loss_fn(p, snk):
+            cam = camera
+            if "camera_opt" in p:
+                from . import camera_opt as co
+
+                cam = co.apply_pose_adjustment(camera, p["camera_opt"][cam_idx])
             outputs, meta = rade_gs.get_outputs(
-                p, alive, camera, step, cfg, rng=bg_key, training=True,
+                p, alive, cam, step, cfg, rng=bg_key, training=True,
                 compute_error_maps=reg_active, absgrad_sink=snk,
             )
             if features_gt is not None:
@@ -191,7 +207,7 @@ class Trainer:
         )
         self.params, self.opt_state, self.strat_state, metrics = self._train_step(
             self.params, self.alive, self.opt_state, self.strat_state,
-            step_key, self.step, camera, image, features_gt, reg_active,
+            step_key, self.step, camera, image, features_gt, idx, reg_active,
         )
         self.step += 1
 

@@ -227,3 +227,52 @@ class TestTSDFExporter:
         assert np.abs(verts[:, 2]).mean() < 0.1
         assert result["colors"].shape == (len(verts), 3)
         assert result["normals"].shape == (len(verts), 3)
+
+
+class TestDensityExporters:
+    def _disk_setup(self):
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.data.synthetic import flat_disk_gaussian
+        from collab_splats_tpu.models import rade_gs
+
+        disk = flat_disk_gaussian(normal=(0, 0, 1), radius=0.4,
+                                  thickness=0.02)
+        disk["opacities"] = jnp.full((1, 1), 8.0)
+        mcfg = rade_gs.RadeGSConfig(
+            sh_degree=0, background="black",
+            render=RenderOptions(tile_capacity=64, max_intersections=1 << 12),
+        )
+        return disk, jnp.ones(1, bool), mcfg
+
+    def test_level_set_extractor(self):
+        from collab_splats_tpu.meshing.exporters import LevelSetExtractor
+
+        disk, alive, mcfg = self._disk_setup()
+        res = LevelSetExtractor(disk, alive, mcfg, level=0.3,
+                                resolution=48).main()
+        verts = res["vertices"]
+        assert len(verts) > 20
+        # The level set of a flat disk hugs z ~ 0 and r <~ 0.5.
+        assert np.abs(verts[:, 2]).max() < 0.1
+        assert np.linalg.norm(verts[:, :2], axis=-1).max() < 0.6
+
+    def test_depth_normal_poisson_exporter(self):
+        from collab_splats_tpu.data.synthetic import orbit_cameras
+        from collab_splats_tpu.meshing.exporters import (
+            DepthAndNormalMapsPoissonExporter,
+        )
+
+        disk, alive, mcfg = self._disk_setup()
+        cams = orbit_cameras(4, radius=2.0, width=48, height=48, focal=60.0,
+                             elevation=0.9)
+        res = DepthAndNormalMapsPoissonExporter(
+            disk, alive, mcfg, alpha_thresh=0.5, stride=2
+        ).main(cams)
+        pts = res["points"]
+        assert len(pts) > 50
+        # Back-projected points lie on the disk plane (z ~ 0 world).
+        assert np.abs(pts[:, 2]).mean() < 0.08
+        # Normals are unit and roughly +-z.
+        n = res["normals"]
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+        assert np.abs(n[:, 2]).mean() > 0.8
