@@ -92,7 +92,6 @@ def composite_fwd_kernel(
     # scalar prefetch
     starts_ref,            # [T+1] int32 CHUNK-aligned segment starts
     lens_ref,              # [T] int32 true segment lengths
-    tile_xy_ref,           # [T, 2] int32 tile origin in pixels
     # inputs
     isect_ref,             # [D, M] f32 in ANY/HBM
     # outputs
@@ -103,6 +102,7 @@ def composite_fwd_kernel(
     sem,                   # DMA semaphore
     *,
     tile_size: int,
+    num_tiles_x: int,
     n_color: int,
     near_plane: float,
     stop_threshold: float,
@@ -115,8 +115,8 @@ def composite_fwd_kernel(
 
     p = tile_size * tile_size
     px, py = _pixel_grids(tile_size)
-    ox = tile_xy_ref[t, 0].astype(jnp.float32)
-    oy = tile_xy_ref[t, 1].astype(jnp.float32)
+    ox = ((t % num_tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((t // num_tiles_x) * tile_size).astype(jnp.float32)
     u = px + ox                      # [P, 1]
     v = py + oy
 
@@ -182,12 +182,14 @@ def composite_fwd_kernel(
 
         # Median: first splat whose accumulated opacity crosses 0.5.
         acc_in = accum + _cumsum_lanes(w)                # inclusive
-        hit = (acc_in >= 0.5) & jnp.logical_not(crossed)
+        hit = (acc_in >= 0.5) & (crossed < 0.5)
         first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
         median = median + jnp.sum(
             jnp.where(first, t_pix, 0.0), axis=1, keepdims=True
         )
-        crossed = crossed | jnp.any(hit, axis=1, keepdims=True)
+        crossed = jnp.maximum(
+            crossed, jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+        )
 
         accum = accum + jnp.sum(w, axis=1, keepdims=True)
         log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
@@ -208,7 +210,7 @@ def composite_fwd_kernel(
         jnp.zeros((p, 3), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),          # median
-        jnp.zeros((p, 1), jnp.bool_),            # crossed
+        jnp.zeros((p, 1), jnp.float32),          # crossed (0/1 as f32)
         jnp.zeros((p, 1), jnp.float32),          # max weight
         jnp.zeros((p, 1), jnp.float32),          # depth at max weight
     )
@@ -217,7 +219,7 @@ def composite_fwd_kernel(
 
     alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
     # Median fallback: the max-weight splat's depth (matches the XLA path).
-    median = jnp.where(crossed, median, t_wmax)
+    median = jnp.where(crossed > 0.5, median, t_wmax)
     median = jnp.where(alpha_out > 0.0, median, 0.0)
 
     out = jnp.concatenate(
@@ -231,7 +233,6 @@ def composite_bwd_kernel(
     # scalar prefetch
     starts_ref,            # [T+1] CHUNK-aligned
     lens_ref,              # [T] true lengths
-    tile_xy_ref,           # [T, 2]
     # inputs
     isect_ref,             # [D, M] ANY
     nchunks_ref,           # [1, 1] SMEM (blocked per tile)
@@ -248,6 +249,7 @@ def composite_bwd_kernel(
     out_sem,
     *,
     tile_size: int,
+    num_tiles_x: int,
     n_color: int,
     near_plane: float,
     max_chunks: int,
@@ -259,8 +261,8 @@ def composite_bwd_kernel(
 
     p = tile_size * tile_size
     px, py = _pixel_grids(tile_size)
-    u = px + tile_xy_ref[t, 0].astype(jnp.float32)
-    v = py + tile_xy_ref[t, 1].astype(jnp.float32)
+    u = px + ((t % num_tiles_x) * tile_size).astype(jnp.float32)
+    v = py + ((t // num_tiles_x) * tile_size).astype(jnp.float32)
 
     g = g_ref[0]                                         # [P, DOUT]
     g_color = g[:, :n_color]
@@ -331,7 +333,7 @@ def composite_bwd_kernel(
         lambda s: s[0] < nc, p1_body, init1
     )
     t_final = jnp.exp(log_t_fin)                         # [P, 1]
-    crossed_ever = acc_fin >= 0.5
+    crossed_ever = (acc_fin >= 0.5).astype(jnp.float32)
 
     # ---- Phase 2: forward pass emitting per-chunk input gradients.
     def p2_body(state):
@@ -381,13 +383,15 @@ def composite_bwd_kernel(
         first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
         cand = (
             (w == wmax_fin) & (wmax_fin > 0.0)
-            & jnp.logical_not(crossed_ever) & jnp.logical_not(seen_fb)
+            & (crossed_ever < 0.5) & (seen_fb < 0.5)
         )
         first_cand = cand & (
             _cumsum_lanes(cand.astype(jnp.float32)) < 1.5
         )
-        seen_fb = seen_fb | jnp.any(cand, axis=1, keepdims=True)
-        sel = jnp.where(crossed_ever, first, first_cand)
+        seen_fb = jnp.maximum(
+            seen_fb, jnp.max(cand.astype(jnp.float32), axis=1, keepdims=True)
+        )
+        sel = jnp.where(crossed_ever > 0.5, first, first_cand)
         g_t = g_depth * w + jnp.where(sel, g_median, 0.0)
         g_t = jnp.where(keep & (t_raw > near_plane), g_t, 0.0)
 
@@ -431,7 +435,7 @@ def composite_bwd_kernel(
 
     jax.lax.while_loop(
         lambda s: s[0] < nc, p2_body,
-        (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.bool_)),
+        (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32)),
     )
 
 
@@ -439,7 +443,7 @@ def composite_tiles_fwd(
     isect: jax.Array,        # [D, M] packed, tile segments CHUNK-aligned
     starts: jax.Array,       # [T+1] int32, multiples of CHUNK
     lens: jax.Array,         # [T] int32 true segment lengths
-    tile_xy: jax.Array,      # [T, 2] int32 pixel origins
+    num_tiles_x: int,
     tile_size: int,
     n_color: int,
     near_plane: float = 0.01,
@@ -448,13 +452,13 @@ def composite_tiles_fwd(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the forward kernel. Returns (packed [T, P, C+6], nchunks [T])."""
-    num_tiles = tile_xy.shape[0]
+    num_tiles = lens.shape[0]
     p = tile_size * tile_size
     dout = n_color + 6
     d = isect.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -471,6 +475,7 @@ def composite_tiles_fwd(
     kernel = functools.partial(
         composite_fwd_kernel,
         tile_size=tile_size,
+        num_tiles_x=num_tiles_x,
         n_color=n_color,
         near_plane=near_plane,
         stop_threshold=stop_threshold,
@@ -484,7 +489,7 @@ def composite_tiles_fwd(
             jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, lens, tile_xy, isect)
+    )(starts, lens, isect)
     return out, nchunks[:, 0]
 
 
@@ -492,7 +497,7 @@ def composite_tiles_bwd_call(
     isect: jax.Array,
     starts: jax.Array,
     lens: jax.Array,
-    tile_xy: jax.Array,
+    num_tiles_x: int,
     nchunks: jax.Array,
     g_packed: jax.Array,
     tile_size: int,
@@ -502,14 +507,14 @@ def composite_tiles_bwd_call(
     interpret: bool = False,
 ) -> jax.Array:
     """Run the backward kernel; returns d_isect [D, M]."""
-    num_tiles = tile_xy.shape[0]
+    num_tiles = lens.shape[0]
     p = tile_size * tile_size
     dout = n_color + 6
     d = isect.shape[0]
     zeros = jnp.zeros_like(isect)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),           # isect
@@ -533,32 +538,33 @@ def composite_tiles_bwd_call(
     kernel = functools.partial(
         composite_bwd_kernel,
         tile_size=tile_size,
+        num_tiles_x=num_tiles_x,
         n_color=n_color,
         near_plane=near_plane,
         max_chunks=max_chunks,
     )
 
-    def kernel_with_alias(starts_ref, lens_ref, tile_xy_ref, isect_ref,
+    def kernel_with_alias(starts_ref, lens_ref, isect_ref,
                           nchunks_ref, g_ref, zeros_ref, d_out_ref, *scratch):
-        kernel(starts_ref, lens_ref, tile_xy_ref, isect_ref, nchunks_ref,
+        kernel(starts_ref, lens_ref, isect_ref, nchunks_ref,
                g_ref, d_out_ref, *scratch)
 
     return pl.pallas_call(
         kernel_with_alias,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(isect.shape, jnp.float32),
-        input_output_aliases={6: 0},  # zeros input -> d_isect output
+        input_output_aliases={5: 0},  # zeros input -> d_isect output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, lens, tile_xy, isect, nchunks[:, None], g_packed, zeros)
+    )(starts, lens, isect, nchunks[:, None], g_packed, zeros)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
 )
 def composite_tiles(
-    isect, starts, lens, tile_xy,
-    tile_size: int, n_color: int, near_plane: float,
+    isect, starts, lens,
+    num_tiles_x: int, tile_size: int, n_color: int, near_plane: float,
     stop_threshold: float, max_chunks: int, interpret: bool,
 ):
     """Differentiable fused compositing: packed [T, P, C+6] per-tile maps.
@@ -566,32 +572,32 @@ def composite_tiles(
     Gradients flow to ``isect`` only (binning indices are integer data).
     """
     out, _ = composite_tiles_fwd(
-        isect, starts, lens, tile_xy, tile_size, n_color,
+        isect, starts, lens, num_tiles_x, tile_size, n_color,
         near_plane=near_plane, stop_threshold=stop_threshold,
         max_chunks=max_chunks, interpret=interpret,
     )
     return out
 
 
-def _composite_tiles_jvp_fwd(isect, starts, lens, tile_xy, tile_size,
+def _composite_tiles_jvp_fwd(isect, starts, lens, num_tiles_x, tile_size,
                              n_color, near_plane, stop_threshold, max_chunks,
                              interpret):
     out, nchunks = composite_tiles_fwd(
-        isect, starts, lens, tile_xy, tile_size, n_color,
+        isect, starts, lens, num_tiles_x, tile_size, n_color,
         near_plane=near_plane, stop_threshold=stop_threshold,
         max_chunks=max_chunks, interpret=interpret,
     )
-    return out, (isect, starts, lens, tile_xy, nchunks)
+    return out, (isect, starts, lens, nchunks)
 
 
-def _composite_tiles_bwd(tile_size, n_color, near_plane, stop_threshold,
-                         max_chunks, interpret, res, g):
-    isect, starts, lens, tile_xy, nchunks = res
+def _composite_tiles_bwd(num_tiles_x, tile_size, n_color, near_plane,
+                         stop_threshold, max_chunks, interpret, res, g):
+    isect, starts, lens, nchunks = res
     d_isect = composite_tiles_bwd_call(
-        isect, starts, lens, tile_xy, nchunks, g,
+        isect, starts, lens, num_tiles_x, nchunks, g,
         tile_size, n_color, near_plane, max_chunks, interpret,
     )
-    return d_isect, None, None, None
+    return d_isect, None, None
 
 
 composite_tiles.defvjp(_composite_tiles_jvp_fwd, _composite_tiles_bwd)

@@ -128,15 +128,11 @@ def render_tiled_pallas(
     isect = pack_intersections(proj, opac, colors, normal_cam, aligned_gid)
     if absgrad_sink is not None:
         isect = isect.at[0:2, :].add(absgrad_sink)
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_xy = jnp.stack(
-        [(tile_ids % ntx) * ts, (tile_ids // ntx) * ts], axis=1
-    )
     k_cap = opts.tile_capacity or default_tile_capacity(means.shape[0])
     max_chunks = max(-(-k_cap // CHUNK), 1)
 
     packed = composite_tiles(
-        isect, aligned_starts, lens, tile_xy, ts, n_color,
+        isect, aligned_starts, lens, ntx, ts, n_color,
         opts.near_plane, stop_threshold, max_chunks, interpret,
     )
 
