@@ -31,10 +31,14 @@ def main():
     )
     from collab_splats_tpu.ops.rasterize import render_tiled
 
+    import os
+
     n = 1_000_000
     width, height = 1280, 720
     reps = 10   # in-graph repetitions: amortizes host<->device dispatch
-    log(f"bench: {n} gaussians, {width}x{height}, backend={jax.default_backend()}")
+    backend = os.environ.get("BENCH_BACKEND", "xla")  # "xla" | "pallas"
+    log(f"bench: {n} gaussians, {width}x{height}, "
+        f"platform={jax.default_backend()}, raster backend={backend}")
 
     key = jax.random.PRNGKey(0)
     params = random_gaussian_params(key, n, extent=1.5,
@@ -45,6 +49,7 @@ def main():
         rasterize_mode="antialiased",
         max_intersections=1 << 21,
         tile_capacity=512,
+        backend=backend,
     )
 
     m = params["means"]
@@ -53,8 +58,17 @@ def main():
     o = jax.nn.sigmoid(params["opacities"][:, 0])
     c = sh0_to_rgb(params["features_dc"])
 
+    if backend == "pallas":
+        from collab_splats_tpu.ops.rasterize import render_tiled_pallas
+
+        def render_fn(*a):
+            return render_tiled_pallas(*a, camera, opts)
+    else:
+        def render_fn(*a):
+            return render_tiled(*a, camera, opts)
+
     def render_sum(m, q, s, o, c):
-        out, _ = render_tiled(m, q, s, o, c, camera, opts)
+        out, _ = render_fn(m, q, s, o, c)
         return (
             jnp.sum(out.color) + jnp.sum(out.depth) + jnp.sum(out.normal)
             + jnp.sum(out.alpha) + jnp.sum(out.median_depth),

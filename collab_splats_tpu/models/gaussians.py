@@ -25,7 +25,7 @@ GaussianParams = Dict[str, jax.Array]
 
 # Parameter-dict entries that are NOT per-Gaussian capacity arrays (skipped
 # by padding / refinement row machinery).
-NON_GAUSSIAN_KEYS = ("decoder", "camera_opt")
+NON_GAUSSIAN_KEYS = ("decoder", "camera_opt", "bilateral_grid")
 
 
 def init_from_points(

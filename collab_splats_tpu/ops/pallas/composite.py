@@ -226,7 +226,7 @@ def composite_fwd_kernel(
         [color, normal, alpha_out, depth_sum, median], axis=1
     )
     out_ref[0] = out
-    nchunks_ref[t, 0] = ci
+    nchunks_ref[0] = jnp.full((8, 128), ci, jnp.int32)
 
 
 def composite_bwd_kernel(
@@ -257,7 +257,7 @@ def composite_bwd_kernel(
     t = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t], CHUNK)
     seg_len = lens_ref[t]
-    nc = nchunks_ref[t, 0]
+    nc = nchunks_ref[0, 0, 0]
 
     p = tile_size * tile_size
     px, py = _pixel_grids(tile_size)
@@ -464,8 +464,8 @@ def composite_tiles_fwd(
         out_specs=[
             pl.BlockSpec((1, p, dout), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_tiles, 1), lambda t, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, CHUNK), jnp.float32),
@@ -486,11 +486,11 @@ def composite_tiles_fwd(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, p, dout), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(starts, lens, isect)
-    return out, nchunks[:, 0]
+    return out, nchunks[:, 0, 0]
 
 
 def composite_tiles_bwd_call(
@@ -518,8 +518,8 @@ def composite_tiles_bwd_call(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),           # isect
-            pl.BlockSpec((num_tiles, 1), lambda t, *_: (0, 0),
-                         memory_space=pltpu.SMEM),           # nchunks
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),           # nchunks
             pl.BlockSpec((1, p, dout), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),           # g
             pl.BlockSpec(memory_space=pl.ANY),            # zeros (alias)
@@ -556,7 +556,11 @@ def composite_tiles_bwd_call(
         input_output_aliases={5: 0},  # zeros input -> d_isect output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, lens, isect, nchunks[:, None], g_packed, zeros)
+    )(starts, lens, isect,
+      jnp.broadcast_to(
+          nchunks[:, None, None], (num_tiles, 8, 128)
+      ).astype(jnp.int32),
+      g_packed, zeros)
 
 
 @functools.partial(

@@ -50,6 +50,7 @@ class TrainerConfig:
     capacity_headroom: float = 1.5   # grow arrays when occupancy * this > C
     seed: int = 42
     optimize_camera_poses: bool = False  # per-camera SO3xR3 deltas
+    use_bilateral_grid: bool = False     # per-image appearance grids
 
 
 class Trainer:
@@ -87,6 +88,15 @@ class Trainer:
             self.params = dict(self.params)
             self.params["camera_opt"] = co.init_camera_opt(len(cameras))
             self.groups["camera_opt"] = co.CAMERA_OPT_GROUP
+            params = self.params
+        if config.use_bilateral_grid and "bilateral_grid" not in self.params:
+            from . import bilateral
+
+            self.params = dict(self.params)
+            self.params["bilateral_grid"] = bilateral.init_bilateral_grids(
+                len(cameras)
+            )
+            self.groups["bilateral_grid"] = bilateral.BILATERAL_GROUP
             params = self.params
         self.optimizer = optim.make_optimizer(
             self.groups, optim.default_labels(params)
@@ -138,6 +148,13 @@ class Trainer:
                 p, alive, cam, step, cfg, rng=bg_key, training=True,
                 compute_error_maps=reg_active, absgrad_sink=snk,
             )
+            if "bilateral_grid" in p:
+                from . import bilateral
+
+                outputs = dict(outputs)
+                outputs["rgb"] = bilateral.apply_bilateral_grid(
+                    p["bilateral_grid"][cam_idx], outputs["rgb"]
+                )
             if features_gt is not None:
                 from ..models import rade_features
 
@@ -149,6 +166,13 @@ class Trainer:
                 loss, ldict = rade_gs.get_loss(
                     outputs, image, p, alive, step, cfg, reg_active=reg_active
                 )
+            if "bilateral_grid" in p:
+                from . import bilateral
+
+                ldict["tv_loss"] = 10.0 * bilateral.total_variation_loss(
+                    p["bilateral_grid"]
+                )
+                loss = loss + ldict["tv_loss"]
             return loss, (outputs, meta, ldict)
 
         (loss, (outputs, meta, ldict)), (pgrads, sink_grad) = jax.value_and_grad(

@@ -150,3 +150,36 @@ class TestCameraOpt:
             R @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-6
         )
         assert np.allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+class TestBilateralGrid:
+    def test_identity_at_init(self):
+        from collab_splats_tpu.train import bilateral
+
+        grids = bilateral.init_bilateral_grids(2)
+        rgb = jax.random.uniform(jax.random.PRNGKey(0), (24, 24, 3))
+        out = bilateral.apply_bilateral_grid(grids[0], rgb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(rgb), atol=1e-5)
+        assert float(bilateral.total_variation_loss(grids)) == 0.0
+
+    def test_training_with_grid(self):
+        from collab_splats_tpu.train import bilateral
+
+        gt, cams, images, cfg = _make_scene(n=100, n_cams=3, size=40)
+        # Darken one view to simulate exposure differences.
+        images = [im * (0.7 if i == 1 else 1.0) for i, im in enumerate(images)]
+        init = pad_to_capacity(dict(gt), 128)
+        alive = jnp.arange(128) < 100
+        tconf = TrainerConfig(
+            model=cfg,
+            strategy=strategy.StrategyConfig(warmup_length=10_000_000),
+            max_iterations=40, use_bilateral_grid=True,
+        )
+        tr = Trainer(tconf, cams, images, init, alive)
+        for _ in range(40):
+            m = tr.train_one_step()
+        assert np.isfinite(m["loss"]) and "tv_loss" in m
+        # The darkened view's grid moved away from identity.
+        g = tr.params["bilateral_grid"]
+        delta = jnp.abs(g[1] - bilateral.init_bilateral_grids(1)[0])
+        assert float(delta.max()) > 1e-4
