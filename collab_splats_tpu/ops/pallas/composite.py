@@ -98,8 +98,8 @@ def composite_fwd_kernel(
     out_ref,               # [1, P, DOUT] f32 (blocked per tile)
     nchunks_ref,           # [1, 1] int32 (blocked per tile)
     # scratch
-    buf_ref,               # [D, CHUNK] VMEM
-    sem,                   # DMA semaphore
+    buf_ref,               # [2, D, CHUNK] VMEM (double buffered)
+    sem,                   # DMA semaphores (2,)
     *,
     tile_size: int,
     num_tiles_x: int,
@@ -123,19 +123,28 @@ def composite_fwd_kernel(
     dout = n_color + 6
     out_ref[0] = jnp.zeros((p, dout), jnp.float32)
 
-    def load_chunk(ci):
+    def dma_for(ci):
         col = start + ci * CHUNK
-        dma = pltpu.make_async_copy(
-            isect_ref.at[:, pl.ds(col, CHUNK)], buf_ref, sem
+        slot = jax.lax.rem(ci, 2)
+        return pltpu.make_async_copy(
+            isect_ref.at[:, pl.ds(col, CHUNK)], buf_ref.at[slot],
+            sem.at[slot],
         )
-        dma.start()
-        dma.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_for(jnp.zeros((), jnp.int32)).start()
 
     def body(state):
         (ci, log_t, accum, color, normal, depth_sum, median, crossed,
          wmax, t_wmax) = state
-        load_chunk(ci)
-        b = buf_ref[:]
+        # Prefetch the next chunk while computing this one.
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma_for(ci + 1).start()
+
+        dma_for(ci).wait()
+        b = buf_ref[jax.lax.rem(ci, 2)]
         # Mask lanes beyond the segment.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (ci * CHUNK + lane) < seg_len            # [1, CHUNK]
@@ -217,6 +226,11 @@ def composite_fwd_kernel(
     (ci, log_t, accum, color, normal, depth_sum, median, crossed,
      wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
 
+    # An early exit can leave the prefetched chunk's DMA un-awaited.
+    @pl.when(ci < n_chunks)
+    def _():
+        dma_for(ci).wait()
+
     alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
     # Median fallback: the max-weight splat's depth (matches the XLA path).
     median = jnp.where(crossed > 0.5, median, t_wmax)
@@ -288,7 +302,7 @@ def composite_bwd_kernel(
         raw = b[8:9] * jnp.exp(-sig_c)
         alpha = jnp.minimum(raw, ALPHA_MAX)
         keep = valid & (alpha >= ALPHA_CUTOFF) & (sigma >= 0.0)
-        alpha = jnp.where(keep, alpha, 0.0)
+        alpha = alpha * keep.astype(jnp.float32)
         t_raw = b[5:6] + b[6:7] * du + b[7:8] * dv
         t_pix = jnp.maximum(t_raw, near_plane)
         return du, dv, sigma, raw, alpha, keep, t_raw, t_pix
@@ -367,6 +381,8 @@ def composite_bwd_kernel(
         # S_after = sum over chunks > ci of stored sums.
         cidx = jax.lax.broadcasted_iota(jnp.int32, (max_chunks, 1), 0)
         later = (cidx > ci) & (cidx < nc)
+        # NB: rows of the scratch beyond nc are uninitialized — must select,
+        # not multiply (NaN * 0 = NaN).
         s_after = jnp.sum(
             jnp.where(later, gw_sum_ref[:, :], 0.0), axis=0
         )[:, None]                                        # [P, 1]
@@ -374,7 +390,7 @@ def composite_bwd_kernel(
 
         inv_1ma = 1.0 / (1.0 - alpha)
         d_alpha = g_w * t_in - suffix * inv_1ma + g_alpha * t_final * inv_1ma
-        d_alpha = jnp.where(keep, d_alpha, 0.0)
+        d_alpha = d_alpha * keep.astype(jnp.float32)
 
         # Median routing: crossing splat, else max-weight splat.
         acc_cum = acc_in_c + _cumsum_lanes(w)
@@ -391,13 +407,16 @@ def composite_bwd_kernel(
         seen_fb = jnp.maximum(
             seen_fb, jnp.max(cand.astype(jnp.float32), axis=1, keepdims=True)
         )
-        sel = jnp.where(crossed_ever > 0.5, first, first_cand)
-        g_t = g_depth * w + jnp.where(sel, g_median, 0.0)
-        g_t = jnp.where(keep & (t_raw > near_plane), g_t, 0.0)
+        sel = jnp.where(
+            crossed_ever > 0.5,
+            first.astype(jnp.float32),
+            first_cand.astype(jnp.float32),
+        )
+        g_t = g_depth * w + sel * g_median
+        g_t = g_t * (keep & (t_raw > near_plane)).astype(jnp.float32)
 
         # alpha -> opacity / conic / mean2d.
-        unclamped = raw < ALPHA_MAX
-        d_raw = jnp.where(unclamped, d_alpha, 0.0)
+        d_raw = d_alpha * (raw < ALPHA_MAX).astype(jnp.float32)
         d_sigma = -raw * d_raw                             # [P, CHUNK]
         d_du = d_sigma * (b[2:3] * du + b[3:4] * dv) + g_t * b[6:7]
         d_dv = d_sigma * (b[4:5] * dv + b[3:4] * du) + g_t * b[7:8]
@@ -413,7 +432,7 @@ def composite_bwd_kernel(
         dbuf_ref[5:6, :] = colsum(g_t)
         dbuf_ref[6:7, :] = colsum(g_t * du)
         dbuf_ref[7:8, :] = colsum(g_t * dv)
-        dbuf_ref[8:9, :] = colsum(jnp.where(keep, d_raw, 0.0) * jnp.exp(
+        dbuf_ref[8:9, :] = colsum(d_raw * jnp.exp(
             -jnp.clip(sigma, 0.0, 50.0)
         ))
         dbuf_ref[9:12, :] = jax.lax.dot_general(
@@ -468,8 +487,8 @@ def composite_tiles_fwd(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, d, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
