@@ -78,9 +78,10 @@ def main():
     @jax.jit
     def forward_loop(m, q, s, o, c):
         def body(i, acc):
-            # Perturb an input by an i-dependent epsilon so XLA cannot hoist
-            # the loop-invariant render out of the loop.
-            v, spill = render_sum(m + 1e-30 * i, q, s, o, c)
+            # Roll an input by the loop index so XLA cannot hoist the
+            # loop-invariant render out of the loop (epsilon perturbations
+            # fold away in f32).
+            v, spill = render_sum(jnp.roll(m, i, axis=0), q, s, o, c)
             return acc + v, spill
 
         return jax.lax.fori_loop(0, reps, lambda i, a: body(i, a[0]),
@@ -93,7 +94,7 @@ def main():
 
         def body(i, acc):
             g = jax.grad(loss, argnums=(0, 2, 3, 4))(
-                m + 1e-30 * i, q, s, o, c
+                jnp.roll(m, i, axis=0), q, s, o, c
             )
             return acc + g[0][0, 0]
 

@@ -90,13 +90,13 @@ def _pixel_grids(tile_size: int):
 
 def composite_fwd_kernel(
     # scalar prefetch
-    starts_ref,            # [T+1] int32 CHUNK-aligned segment starts
-    lens_ref,              # [T] int32 true segment lengths
+    starts_ref,            # [Tpad+1] int32 CHUNK-aligned segment starts
+    lens_ref,              # [Tpad] int32 true segment lengths
     # inputs
     isect_ref,             # [D, M] f32 in ANY/HBM
     # outputs
-    out_ref,               # [1, P, DOUT] f32 (blocked per tile)
-    nchunks_ref,           # [1, 1] int32 (blocked per tile)
+    out_ref,               # [TPT, P, DOUT] f32 (blocked per program)
+    nchunks_ref,           # [TPT, 8, 128] int32 (blocked per program)
     # scratch
     buf_ref,               # [2, D, CHUNK] VMEM (double buffered)
     sem,                   # DMA semaphores (2,)
@@ -107,140 +107,146 @@ def composite_fwd_kernel(
     near_plane: float,
     stop_threshold: float,
     max_chunks: int,
+    tiles_per_program: int,
 ):
-    t = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t], CHUNK)
-    seg_len = lens_ref[t]
-    n_chunks = jnp.minimum(pl.cdiv(seg_len, CHUNK), max_chunks)
-
+    """Processes ``tiles_per_program`` tiles per grid step (amortizing the
+    per-program pipeline overhead of the sequential TPU grid)."""
+    grid_g = pl.program_id(0)
     p = tile_size * tile_size
     px, py = _pixel_grids(tile_size)
-    ox = ((t % num_tiles_x) * tile_size).astype(jnp.float32)
-    oy = ((t // num_tiles_x) * tile_size).astype(jnp.float32)
-    u = px + ox                      # [P, 1]
-    v = py + oy
-
     dout = n_color + 6
-    out_ref[0] = jnp.zeros((p, dout), jnp.float32)
 
-    def dma_for(ci):
-        col = start + ci * CHUNK
-        slot = jax.lax.rem(ci, 2)
-        return pltpu.make_async_copy(
-            isect_ref.at[:, pl.ds(col, CHUNK)], buf_ref.at[slot],
-            sem.at[slot],
-        )
+    def tile_body(k, _):
+        t = grid_g * tiles_per_program + k
+        start = pl.multiple_of(starts_ref[t], CHUNK)
+        seg_len = lens_ref[t]
+        n_chunks = jnp.minimum(pl.cdiv(seg_len, CHUNK), max_chunks)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma_for(jnp.zeros((), jnp.int32)).start()
+        ox = ((t % num_tiles_x) * tile_size).astype(jnp.float32)
+        oy = ((t // num_tiles_x) * tile_size).astype(jnp.float32)
+        u = px + ox                      # [P, 1]
+        v = py + oy
 
-    def body(state):
-        (ci, log_t, accum, color, normal, depth_sum, median, crossed,
-         wmax, t_wmax) = state
-        # Prefetch the next chunk while computing this one.
-        @pl.when(ci + 1 < n_chunks)
+        def dma_for(ci):
+            col = start + ci * CHUNK
+            slot = jax.lax.rem(ci, 2)
+            return pltpu.make_async_copy(
+                isect_ref.at[:, pl.ds(col, CHUNK)], buf_ref.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
         def _():
-            dma_for(ci + 1).start()
+            dma_for(jnp.zeros((), jnp.int32)).start()
 
-        dma_for(ci).wait()
-        b = buf_ref[jax.lax.rem(ci, 2)]
-        # Mask lanes beyond the segment.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        valid = (ci * CHUNK + lane) < seg_len            # [1, CHUNK]
+        def body(state):
+            (ci, log_t, accum, color, normal, depth_sum, median, crossed,
+             wmax, t_wmax) = state
+            # Prefetch the next chunk while computing this one.
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                dma_for(ci + 1).start()
 
-        du = u - b[0:1, :]                               # [P, CHUNK]
-        dv = v - b[1:2, :]
-        sigma = 0.5 * (b[2:3] * du * du + b[4:5] * dv * dv) + b[3:4] * du * dv
-        alpha = b[8:9] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
-        alpha = jnp.minimum(alpha, ALPHA_MAX)
-        keep = valid & (alpha >= ALPHA_CUTOFF) & (sigma >= 0.0)
-        alpha = jnp.where(keep, alpha, 0.0)
+            dma_for(ci).wait()
+            b = buf_ref[jax.lax.rem(ci, 2)]
+            # Mask lanes beyond the segment.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            valid = (ci * CHUNK + lane) < seg_len            # [1, CHUNK]
 
-        log1m = jnp.log1p(-alpha)                        # [P, CHUNK]
-        # Exclusive in-chunk transmittance plus the carry.
-        cum = _cumsum_lanes(log1m)
-        log_t_in = log_t + cum - log1m
-        w = alpha * jnp.exp(log_t_in)                    # [P, CHUNK]
+            du = u - b[0:1, :]                               # [P, CHUNK]
+            dv = v - b[1:2, :]
+            sigma = (0.5 * (b[2:3] * du * du + b[4:5] * dv * dv)
+                     + b[3:4] * du * dv)
+            alpha = b[8:9] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
+            alpha = jnp.minimum(alpha, ALPHA_MAX)
+            keep = valid & (alpha >= ALPHA_CUTOFF) & (sigma >= 0.0)
+            alpha = jnp.where(keep, alpha, 0.0)
 
-        t_pix = b[5:6] + b[6:7] * du + b[7:8] * dv
-        t_pix = jnp.maximum(t_pix, near_plane)
+            log1m = jnp.log1p(-alpha)                        # [P, CHUNK]
+            cum = _cumsum_lanes(log1m)
+            log_t_in = log_t + cum - log1m
+            w = alpha * jnp.exp(log_t_in)                    # [P, CHUNK]
 
-        color = color + jax.lax.dot_general(
-            w, b[D_BASE : D_BASE + n_color, :],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            t_pix = b[5:6] + b[6:7] * du + b[7:8] * dv
+            t_pix = jnp.maximum(t_pix, near_plane)
+
+            color = color + jax.lax.dot_general(
+                w, b[D_BASE : D_BASE + n_color, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            normal = normal + jax.lax.dot_general(
+                w, b[9:12, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            depth_sum = depth_sum + jnp.sum(w * t_pix, axis=1, keepdims=True)
+            # Max-weight splat's depth (the XLA path's median fallback).
+            w_chunk_max = jnp.max(w, axis=1, keepdims=True)
+            is_new_max = w_chunk_max > wmax
+            arg_mask = (w == w_chunk_max) & (
+                _cumsum_lanes((w == w_chunk_max).astype(jnp.float32)) < 1.5
+            )
+            t_chunk_at_max = jnp.sum(
+                jnp.where(arg_mask, t_pix, 0.0), axis=1, keepdims=True
+            )
+            t_wmax = jnp.where(is_new_max, t_chunk_at_max, t_wmax)
+            wmax = jnp.maximum(wmax, w_chunk_max)
+
+            # Median: first splat whose accumulated opacity crosses 0.5.
+            acc_in = accum + _cumsum_lanes(w)                # inclusive
+            hit = (acc_in >= 0.5) & (crossed < 0.5)
+            first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
+            median = median + jnp.sum(
+                jnp.where(first, t_pix, 0.0), axis=1, keepdims=True
+            )
+            crossed = jnp.maximum(
+                crossed,
+                jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True),
+            )
+
+            accum = accum + jnp.sum(w, axis=1, keepdims=True)
+            log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
+            return (ci + 1, log_t, accum, color, normal, depth_sum, median,
+                    crossed, wmax, t_wmax)
+
+        def cond(state):
+            ci = state[0]
+            log_t = state[1]
+            alive = jnp.max(log_t) > jnp.log(stop_threshold)
+            return jnp.logical_and(ci < n_chunks, alive)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((p, 1), jnp.float32),          # log transmittance
+            jnp.zeros((p, 1), jnp.float32),          # accumulated opacity
+            jnp.zeros((p, n_color), jnp.float32),
+            jnp.zeros((p, 3), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),          # median
+            jnp.zeros((p, 1), jnp.float32),          # crossed (0/1 as f32)
+            jnp.zeros((p, 1), jnp.float32),          # max weight
+            jnp.zeros((p, 1), jnp.float32),          # depth at max weight
         )
-        normal = normal + jax.lax.dot_general(
-            w, b[9:12, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        (ci, log_t, accum, color, normal, depth_sum, median, crossed,
+         wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
+
+        # An early exit can leave the prefetched chunk's DMA un-awaited.
+        @pl.when(ci < n_chunks)
+        def _():
+            dma_for(ci).wait()
+
+        alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
+        median = jnp.where(crossed > 0.5, median, t_wmax)
+        median = jnp.where(alpha_out > 0.0, median, 0.0)
+
+        out = jnp.concatenate(
+            [color, normal, alpha_out, depth_sum, median], axis=1
         )
-        depth_sum = depth_sum + jnp.sum(w * t_pix, axis=1, keepdims=True)
-        # Track the max-weight splat's depth (the XLA path's median
-        # fallback for pixels whose opacity never crosses 0.5).
-        w_chunk_max = jnp.max(w, axis=1, keepdims=True)
-        is_new_max = w_chunk_max > wmax
-        arg_mask = (w == w_chunk_max) & (
-            _cumsum_lanes((w == w_chunk_max).astype(jnp.float32)) < 1.5
-        )
-        t_chunk_at_max = jnp.sum(
-            jnp.where(arg_mask, t_pix, 0.0), axis=1, keepdims=True
-        )
-        t_wmax = jnp.where(is_new_max, t_chunk_at_max, t_wmax)
-        wmax = jnp.maximum(wmax, w_chunk_max)
+        out_ref[k] = out
+        nchunks_ref[k] = jnp.full((8, 128), ci, jnp.int32)
+        return 0
 
-        # Median: first splat whose accumulated opacity crosses 0.5.
-        acc_in = accum + _cumsum_lanes(w)                # inclusive
-        hit = (acc_in >= 0.5) & (crossed < 0.5)
-        first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
-        median = median + jnp.sum(
-            jnp.where(first, t_pix, 0.0), axis=1, keepdims=True
-        )
-        crossed = jnp.maximum(
-            crossed, jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
-        )
-
-        accum = accum + jnp.sum(w, axis=1, keepdims=True)
-        log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
-        return (ci + 1, log_t, accum, color, normal, depth_sum, median,
-                crossed, wmax, t_wmax)
-
-    def cond(state):
-        ci = state[0]
-        log_t = state[1]
-        alive = jnp.max(log_t) > jnp.log(stop_threshold)
-        return jnp.logical_and(ci < n_chunks, alive)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((p, 1), jnp.float32),          # log transmittance
-        jnp.zeros((p, 1), jnp.float32),          # accumulated opacity
-        jnp.zeros((p, n_color), jnp.float32),
-        jnp.zeros((p, 3), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),          # median
-        jnp.zeros((p, 1), jnp.float32),          # crossed (0/1 as f32)
-        jnp.zeros((p, 1), jnp.float32),          # max weight
-        jnp.zeros((p, 1), jnp.float32),          # depth at max weight
-    )
-    (ci, log_t, accum, color, normal, depth_sum, median, crossed,
-     wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
-
-    # An early exit can leave the prefetched chunk's DMA un-awaited.
-    @pl.when(ci < n_chunks)
-    def _():
-        dma_for(ci).wait()
-
-    alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
-    # Median fallback: the max-weight splat's depth (matches the XLA path).
-    median = jnp.where(crossed > 0.5, median, t_wmax)
-    median = jnp.where(alpha_out > 0.0, median, 0.0)
-
-    out = jnp.concatenate(
-        [color, normal, alpha_out, depth_sum, median], axis=1
-    )
-    out_ref[0] = out
-    nchunks_ref[0] = jnp.full((8, 128), ci, jnp.int32)
+    jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
 
 
 def composite_bwd_kernel(
@@ -469,6 +475,7 @@ def composite_tiles_fwd(
     stop_threshold: float = 1e-4,
     max_chunks: int = 64,
     interpret: bool = False,
+    tiles_per_program: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the forward kernel. Returns (packed [T, P, C+6], nchunks [T])."""
     num_tiles = lens.shape[0]
@@ -476,14 +483,21 @@ def composite_tiles_fwd(
     dout = n_color + 6
     d = isect.shape[0]
 
+    tpt = tiles_per_program
+    n_prog = -(-num_tiles // tpt)
+    t_pad = n_prog * tpt
+    # Padded tiles get zero-length segments (their loop exits immediately).
+    starts_p = jnp.pad(starts, (0, t_pad - num_tiles), mode="edge")
+    lens_p = jnp.pad(lens, (0, t_pad - num_tiles))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(n_prog,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, p, dout), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpt, p, dout), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpt, 8, 128), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -499,17 +513,18 @@ def composite_tiles_fwd(
         near_plane=near_plane,
         stop_threshold=stop_threshold,
         max_chunks=max_chunks,
+        tiles_per_program=tpt,
     )
     out, nchunks = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, p, dout), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, p, dout), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 8, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, lens, isect)
-    return out, nchunks[:, 0, 0]
+    )(starts_p, lens_p, isect)
+    return out[:num_tiles], nchunks[:num_tiles, 0, 0]
 
 
 def composite_tiles_bwd_call(
