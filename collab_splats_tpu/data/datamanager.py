@@ -12,12 +12,12 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..core.cameras import Camera
-from .dataparser import ParsedScene, load_image, parse_transforms_json
+from .dataparser import load_image, parse_transforms_json
 
 
 @dataclasses.dataclass

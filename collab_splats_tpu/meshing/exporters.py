@@ -36,7 +36,7 @@ from ..models import rade_gs
 from ..models.gaussians import GaussianParams
 from . import align, repair, transfer
 from .marching import marching_tetrahedra, trilinear_sample
-from .tsdf import TSDFConfig, integrate, volume_from_bounds
+from .tsdf import integrate, volume_from_bounds
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,19 +21,16 @@ collectives with local compute where profitable.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.cameras import Camera
-from ..core.options import RenderOptions
 from ..core.projection import project_gaussians
 from ..models import rade_gs
-from ..models.gaussians import GaussianParams
 from ..ops.rasterize import absgrad_sink_shape, render_from_projections
 from ..train import losses
 from ..train.strategy import StrategyState

@@ -34,10 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datamanager import FullImageDatamanager
-from ..models import rade_features, rade_gs
-from ..models.gaussians import init_from_points, pad_to_capacity
+from ..models import rade_features
+from ..models.gaussians import init_from_points
 from ..train import checkpoint as ckpt_lib
-from ..train.trainer import Trainer, TrainerConfig
+from ..train.trainer import Trainer
 from .methods import METHODS, get_method
 
 DEFAULT_TIMEOUT = 3600
@@ -320,7 +320,12 @@ class Splatter:
             params, alive, groups=spec.groups, checkpoint_fn=save,
             features=features,
         )
-        trainer.train()
+        trainer.train(
+            eval_cameras=dm.eval_cameras,
+            eval_images=[
+                im.astype(np.float32) / 255.0 for im in dm.eval_images
+            ],
+        )
         save(trainer)
         self._loaded = (
             trainer.step, trainer.params, trainer.alive, spec, tconf.model
@@ -396,6 +401,18 @@ class Splatter:
                 **{k: v for k, v in mesher_kwargs.items() if k in known},
             ).main(dm.train_cameras, output_dir=out)
         raise ValidationError(f"Unknown mesher_type: {mesher_type}")
+
+    # --------------------------------------------------------------- viewer
+    def viewer(self, port: int = 7007, blocking: bool = True,
+               width: int = 640, height: int = 480):
+        """Serve the interactive splat viewer for the trained model
+        (reference Splatter.viewer -> ns-viewer, splatter.py:355-371)."""
+        from .viewer import SplatViewer
+
+        step, params, alive, spec, model_cfg = self.load_model()
+        v = SplatViewer(params, alive, model_cfg, width=width, height=height)
+        v.serve(port=port, blocking=blocking)
+        return v
 
     # -------------------------------------------------------------- querying
     def query_mesh(

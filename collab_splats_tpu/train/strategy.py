@@ -27,7 +27,7 @@ reset every 30 refines), the values the reference trains with.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

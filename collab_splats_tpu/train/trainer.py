@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -273,11 +273,44 @@ class Trainer:
         num_steps: Optional[int] = None,
         log_every: int = 100,
         log_fn: Callable = print,
+        eval_cameras: Optional[Sequence[Camera]] = None,
+        eval_images: Optional[Sequence] = None,
     ):
+        """Run the training loop.
+
+        When eval data is given, follows the reference's cadence
+        (configs/rade_gs_method.py:26-29): one eval image every
+        ``steps_per_eval_image`` steps, the full eval set every
+        ``steps_per_eval_all_images``; results land in ``self.history``
+        under ``eval_psnr`` / ``eval_all_psnr``.
+        """
         num_steps = num_steps or self.config.max_iterations
+        do_eval = eval_cameras is not None and len(eval_cameras) > 0
         t0 = time.time()
         for _ in range(num_steps):
             m = self.train_one_step()
+            if do_eval and self.step % self.config.steps_per_eval_image == 0:
+                i = (self.step // self.config.steps_per_eval_image) % len(
+                    eval_cameras
+                )
+                ev = self.eval_image(eval_cameras[i], eval_images[i])
+                self.history[-1]["eval_psnr"] = ev["psnr"]
+                self.history[-1]["eval_ssim"] = ev["ssim"]
+            if (
+                do_eval
+                and self.step % self.config.steps_per_eval_all_images == 0
+            ):
+                evs = [
+                    self.eval_image(c, im)
+                    for c, im in zip(eval_cameras, eval_images)
+                ]
+                self.history[-1]["eval_all_psnr"] = float(
+                    np.mean([e["psnr"] for e in evs])
+                )
+                log_fn(
+                    f"step {self.step:6d}  eval-all psnr "
+                    f"{self.history[-1]['eval_all_psnr']:.2f}"
+                )
             if self.step % log_every == 0:
                 rate = self.step / max(time.time() - t0, 1e-9)
                 log_fn(
@@ -288,6 +321,51 @@ class Trainer:
             if self.checkpoint_fn and self.step % self.config.steps_per_save == 0:
                 self.checkpoint_fn(self)
         return self.history
+
+    # --------------------------------------------------------------- resume
+    def save(self, directory) -> None:
+        """Write a resumable checkpoint (params + opt + strategy state)."""
+        from . import checkpoint as ckpt
+
+        ckpt.save_checkpoint(
+            directory, self.step, self.params, self.alive,
+            opt_state=self.opt_state, strat_state=self.strat_state,
+            metadata={"capacity": int(self.alive.shape[0])},
+        )
+
+    def restore(self, path) -> None:
+        """Resume from a checkpoint written by :meth:`save`.
+
+        Parameters and the alive mask are restored exactly; Adam moments are
+        restored leaf-by-leaf where shapes still match (capacity growth
+        after the save resets the affected moments, which is also what the
+        reference's nerfstudio resume does after densification).
+        """
+        from . import checkpoint as ckpt
+
+        step, params, alive, extras = ckpt.load_checkpoint(path)
+        self.step = step
+        self.params = params
+        self.alive = alive
+        self.opt_state = self.optimizer.init(params)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
+        restored = []
+        for keypath, leaf in flat:
+            key = "opt/" + "/".join(str(p) for p in keypath)
+            val = extras.get(key)
+            if val is not None and hasattr(leaf, "shape") and \
+                    val.shape == leaf.shape:
+                restored.append(jnp.asarray(val))
+            else:
+                restored.append(leaf)
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+        self.strat_state = strategy.init_state(alive.shape[0])
+        for name in ("grad_accum", "count", "max_radii"):
+            key = f"strat/{name}"
+            if key in extras:
+                self.strat_state = self.strat_state._replace(
+                    **{name: jnp.asarray(extras[key])}
+                )
 
     # ----------------------------------------------------------------- eval
     def eval_image(self, camera: Camera, image) -> Dict[str, float]:

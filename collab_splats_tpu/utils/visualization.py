@@ -10,9 +10,8 @@ z-buffer triangle painter, and figures are assembled with matplotlib.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -161,3 +161,53 @@ class TestCLI:
         ])
         assert rc == 0
         assert (Path(scene_dir) / "out_cli" / "mesh" / "mesh.ply").exists()
+
+
+class TestViewer:
+    def test_serve_and_render(self):
+        import urllib.request
+
+        import jax
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.data.synthetic import random_gaussian_params
+        from collab_splats_tpu.models import rade_gs
+        from collab_splats_tpu.pipeline.viewer import SplatViewer
+
+        params = random_gaussian_params(jax.random.PRNGKey(0), 80, extent=0.5)
+        import jax.numpy as jnp
+
+        viewer = SplatViewer(
+            params, jnp.ones(80, bool),
+            rade_gs.RadeGSConfig(
+                sh_degree=0, background="black",
+                render=RenderOptions(tile_capacity=128,
+                                     max_intersections=1 << 13),
+            ),
+            width=64, height=48,
+        )
+        port = viewer.serve(port=0, blocking=False)
+        try:
+            html = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30
+            ).read()
+            assert b"viewer" in html
+            png = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/render?theta=0.5&phi=0.4&r=3"
+                "&mode=rgb",
+                timeout=120,
+            ).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            from io import BytesIO
+
+            from PIL import Image
+
+            img = Image.open(BytesIO(png))
+            assert img.size == (64, 48)
+            import json as _json
+
+            info = _json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/info", timeout=30
+            ).read())
+            assert info["num_gaussians"] == 80
+        finally:
+            viewer.shutdown()

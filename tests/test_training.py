@@ -183,3 +183,36 @@ class TestBilateralGrid:
         g = tr.params["bilateral_grid"]
         delta = jnp.abs(g[1] - bilateral.init_bilateral_grids(1)[0])
         assert float(delta.max()) > 1e-4
+
+
+class TestResume:
+    def test_save_restore_continues_exactly(self, tmp_path):
+        gt, cams, images, cfg = _make_scene(n=120, n_cams=4, size=40)
+        init = pad_to_capacity(dict(gt), 160)
+        alive = jnp.arange(160) < 120
+        tconf = TrainerConfig(
+            model=cfg,
+            strategy=strategy.StrategyConfig(warmup_length=10_000_000),
+            max_iterations=30,
+        )
+        # Uninterrupted run.
+        tr_a = Trainer(tconf, cams, images, init, alive)
+        for _ in range(30):
+            ma = tr_a.train_one_step()
+        # Interrupted at 20, saved, restored into a fresh trainer.
+        tr_b = Trainer(tconf, cams, images, init, alive)
+        for _ in range(20):
+            tr_b.train_one_step()
+        tr_b.save(tmp_path / "ck")
+        from collab_splats_tpu.train import checkpoint as ckpt_lib
+
+        tr_c = Trainer(tconf, cams, images, init, alive)
+        tr_c.restore(ckpt_lib.latest_checkpoint(tmp_path / "ck"))
+        assert tr_c.step == 20
+        for _ in range(10):
+            mc = tr_c.train_one_step()
+        assert mc["loss"] == pytest.approx(ma["loss"], rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(tr_c.params["means"]), np.asarray(tr_a.params["means"]),
+            atol=1e-6,
+        )
