@@ -402,6 +402,62 @@ class Splatter:
             ).main(dm.train_cameras, output_dir=out)
         raise ValidationError(f"Unknown mesher_type: {mesher_type}")
 
+    # ------------------------------------------------------------ mesh utils
+    def load_aligned_cameras(self):
+        """Training cameras transformed by the mesh's floor alignment
+        (reference Splatter.load_aligned_cameras): poses expressed in the
+        same z-up, floor-at-zero frame as the exported mesh."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        feats = self.mesh_dir / "mesh_features.npz"
+        T = np.eye(4)
+        if feats.exists():
+            data = np.load(feats)
+            if "floor_transform" in data:
+                T = data["floor_transform"]
+        dm = FullImageDatamanager.from_transforms_json(
+            self.preproc_dir / "transforms.json"
+        )
+        Tj = jnp.asarray(T, jnp.float32)
+        out = []
+        for cam in dm.train_cameras:
+            c2w = cam.c2w
+            new = jnp.eye(4, dtype=jnp.float32)
+            new = new.at[:3, :3].set(Tj[:3, :3] @ c2w[:3, :3])
+            new = new.at[:3, 3].set(Tj[:3, :3] @ c2w[:3, 3] + Tj[:3, 3])
+            out.append(dc.replace(cam, c2w=new))
+        return out
+
+    def plot_mesh(self, output_fn=None, width: int = 800, height: int = 600):
+        """Render the extracted mesh to an image (reference
+        Splatter.plot_mesh, PyVista-free: z-buffer painter over an orbit
+        camera)."""
+        from ..data.ply import read_ply
+        from ..data.synthetic import look_at_c2w
+        from ..core.cameras import make_camera
+        from ..utils.visualization import render_mesh
+
+        mesh = read_ply(str(self.mesh_dir / "mesh.ply"))
+        pts = mesh["points"]
+        center = pts.mean(axis=0)
+        radius = 2.5 * float(np.abs(pts - center).max())
+        eye = center + radius * np.array([0.6, 0.6, 0.5])
+        cam = make_camera(
+            0.9 * max(width, height), 0.9 * max(width, height),
+            width / 2, height / 2, width, height, look_at_c2w(eye, center),
+        )
+        img = render_mesh(
+            pts, mesh.get("faces", np.zeros((0, 3), np.int32)),
+            mesh.get("colors", np.full_like(pts, 0.7)), cam,
+        )
+        if output_fn is not None:
+            from PIL import Image
+
+            Image.fromarray((img * 255).astype(np.uint8)).save(output_fn)
+        return img
+
     # --------------------------------------------------------------- viewer
     def viewer(self, port: int = 7007, blocking: bool = True,
                width: int = 640, height: int = 480):

@@ -211,3 +211,59 @@ class TestViewer:
             assert info["num_gaussians"] == 80
         finally:
             viewer.shutdown()
+
+
+class TestMeshUtilities:
+    def test_plot_mesh_and_aligned_cameras(self, scene_dir):
+        s = Splatter({
+            "file_path": str(scene_dir / "input"),
+            "method": "rade-gs",
+            "output_path": str(scene_dir / "out"),
+        })
+        if not (s.mesh_dir / "mesh.ply").exists():
+            s._training_config = {"max_iterations": 20, "capacity": 512,
+                                  "sh_degree": 0}
+            s._meshing_config = {"voxel_size": 0.05, "depth_trunc": 4.0,
+                                 "align_floor": False, "max_dim": 64}
+            s.run_pipeline()
+        img = s.plot_mesh()
+        assert img.shape == (600, 800, 3)
+        assert np.isfinite(img).all()
+        cams = s.load_aligned_cameras()
+        assert len(cams) > 0
+        assert cams[0].c2w.shape == (4, 4)
+
+
+class TestFeatureCache:
+    def test_cache_roundtrip_and_invalidation(self, tmp_path):
+        from collab_splats_tpu.data.datamanager import FullImageDatamanager
+        from collab_splats_tpu.data.synthetic import write_synthetic_dataset
+        from collab_splats_tpu.features.datamanager import (
+            FeatureDatamanager,
+            FeatureDatamanagerConfig,
+        )
+
+        write_synthetic_dataset(tmp_path / "in", n_cams=4, n_gaussians=60,
+                                width=32, height=32)
+        base = FullImageDatamanager.from_transforms_json(
+            tmp_path / "in" / "transforms.json"
+        )
+        cfg = FeatureDatamanagerConfig(
+            feature_type="hash-proj", extractors=("hash-proj",),
+            final_resolution=8, cache_dir=str(tmp_path / "cache"),
+        )
+        names = [f"img{i}" for i in range(len(base.train_images))]
+        dm1 = FeatureDatamanager(base, cfg, image_names=names)
+        cache_files = list((tmp_path / "cache").glob("*.npz"))
+        assert len(cache_files) == 1
+        # Second load hits the cache and yields identical features.
+        dm2 = FeatureDatamanager(base, cfg, image_names=names)
+        np.testing.assert_array_equal(
+            dm1.train_features[0]["hash-proj"],
+            dm2.train_features[0]["hash-proj"],
+        )
+        # Different filename list -> different cache key (invalidation,
+        # reference features_datamanager.py:99-123 semantics).
+        dm3 = FeatureDatamanager(base, cfg,
+                                 image_names=[n + "_v2" for n in names])
+        assert len(list((tmp_path / "cache").glob("*.npz"))) == 2
