@@ -27,6 +27,12 @@ class RenderOptions:
     max_intersections: int | None = None   # global (gaussian, tile) pair budget
     tile_capacity: int | None = None       # per-tile front-to-back splat budget
 
+    # Depth ordering inside tiles: exact (global argsort ranks) or
+    # quantized log-depth keys (skips the N-sort; ties between splats whose
+    # depths agree to ~0.1% may order arbitrarily — visually and
+    # training-wise indistinguishable, cheaper to bin).
+    exact_binning: bool = True
+
     # Compositing backend: "xla" (dense windows, pure autodiff) or "pallas"
     # (fused per-tile kernel with custom VJP + transmittance early exit).
     backend: str = "xla"

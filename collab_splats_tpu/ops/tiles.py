@@ -147,13 +147,26 @@ def bin_gaussians(
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1] if n > 0 else jnp.zeros((), jnp.int32)
 
-    # Global depth ranks (N-sort, exact ordering).
-    order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))
-    rank = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
-    )
+    # Depth ordering: exact global ranks (one N-sort), or quantized
+    # log-depth keys (opts.exact_binning=False skips the N-sort entirely;
+    # within-tile ordering of near-equal depths becomes arbitrary).
+    tile_bits_est = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
+    rank_bits_est = 31 - tile_bits_est
+    if opts.exact_binning:
+        order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))
+        rank = (
+            jnp.zeros((n,), jnp.int32)
+            .at[order]
+            .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+        )
+    else:
+        levels = (1 << rank_bits_est) - 1
+        log_d = jnp.log(jnp.clip(proj.depth, opts.near_plane, opts.far_plane))
+        lo = jnp.log(opts.near_plane)
+        hi = jnp.log(jnp.minimum(opts.far_plane, 1e6))
+        rank = (
+            jnp.clip((log_d - lo) / (hi - lo), 0.0, 1.0) * levels
+        ).astype(jnp.int32)
 
     # Invert slot -> gaussian: scatter each gaussian's index at its first
     # slot, then forward-fill with a cumulative max.
@@ -174,12 +187,13 @@ def bin_gaussians(
     tile_id = (ty0[gid] + dy) * ntx + (tx0[gid] + dx)
 
     # Fused 31-bit sort key: tile id in the high bits, depth rank below.
-    tile_bits = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
-    rank_bits = 31 - tile_bits
+    tile_bits = tile_bits_est
+    rank_bits = rank_bits_est
     r = rank[gid]
-    n_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    if n_bits > rank_bits:
-        r = r >> (n_bits - rank_bits)
+    if opts.exact_binning:
+        n_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+        if n_bits > rank_bits:
+            r = r >> (n_bits - rank_bits)
     key = (tile_id << rank_bits) | r
     key = jnp.where(slot_valid, key, num_tiles << rank_bits)
 

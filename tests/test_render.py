@@ -218,3 +218,22 @@ class TestTiledVsGolden:
         # signed gradient.  Check it is finite and non-trivial.
         assert np.all(np.isfinite(np.asarray(g_sink)))
         assert float(jnp.sum(jnp.abs(g_sink))) > 0
+
+
+class TestApproxBinning:
+    def test_quantized_depth_ordering_close(self):
+        # exact_binning=False: same render up to reordering of near-equal
+        # depths -> compare loosely against the exact path.
+        cam = orbit_cameras(1, radius=2.5, width=64, height=48, focal=80.0)[0]
+        params = random_gaussian_params(jax.random.PRNGKey(8), 300, extent=0.8)
+        m, q, s, o, c = _activated(params)
+        exact = RenderOptions(tile_capacity=512, max_intersections=1 << 15)
+        approx = RenderOptions(tile_capacity=512, max_intersections=1 << 15,
+                               exact_binning=False)
+        a, _ = render_tiled(m, q, s, o, c, cam, exact)
+        b, _ = render_tiled(m, q, s, o, c, cam, approx)
+        assert int(b.spilled) == 0
+        np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha),
+                                   atol=5e-3)
