@@ -50,6 +50,10 @@ def main():
         max_intersections=1 << 21,
         tile_capacity=512,
         backend=backend,
+        # Quantized log-depth keys: skips the global depth argsort; ordering
+        # of near-equal depths is arbitrary (same regime where CUDA float
+        # radix keys stop discriminating). ~9% faster binning at 1M.
+        exact_binning=False,
     )
 
     m = params["means"]
