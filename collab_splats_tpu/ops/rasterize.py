@@ -244,6 +244,40 @@ def render_tiled(
     )
 
 
+def render_tiled_batch(
+    means: jax.Array,
+    quats: jax.Array,
+    scales: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    cameras: Camera,
+    opts: RenderOptions = RenderOptions(),
+) -> RenderOutput:
+    """Render a *batch* of cameras in one jitted program.
+
+    ``cameras`` is a stacked :class:`Camera` (K [B,3,3], c2w [B,4,4], shared
+    static width/height).  vmap over the camera axis — binning, sort and
+    compositing all batch; XLA shares the per-Gaussian work where it can.
+    The single-camera-per-step training contract of the reference
+    (rade_gs_model.py:95) doesn't apply here: batched rendering serves
+    eval-all sweeps, TSDF fusion, and single-host camera parallelism.
+    """
+    single = Camera(
+        K=cameras.K[0], c2w=cameras.c2w[0],
+        width=cameras.width, height=cameras.height,
+    )
+
+    def one(K, c2w):
+        cam = Camera(K=K, c2w=c2w, width=cameras.width,
+                     height=cameras.height)
+        out, _ = render_tiled(means, quats, scales, opacities, colors, cam,
+                              opts)
+        return out
+
+    del single
+    return jax.vmap(one)(cameras.K, cameras.c2w)
+
+
 def render_from_projections(
     proj: Projection,
     opac: jax.Array,

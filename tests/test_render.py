@@ -237,3 +237,32 @@ class TestApproxBinning:
                                    atol=5e-3)
         np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha),
                                    atol=5e-3)
+
+
+class TestBatchedRender:
+    def test_vmap_matches_loop(self):
+        from collab_splats_tpu.core.cameras import Camera
+        from collab_splats_tpu.ops.rasterize import render_tiled_batch
+
+        cams = orbit_cameras(3, radius=2.5, width=48, height=48, focal=60.0)
+        params = random_gaussian_params(jax.random.PRNGKey(1), 120, extent=0.6)
+        m, q, s, o, c = _activated(params)
+        opts = RenderOptions(tile_capacity=128, max_intersections=1 << 13)
+        stacked = Camera(
+            K=jnp.stack([cc.K for cc in cams]),
+            c2w=jnp.stack([cc.c2w for cc in cams]),
+            width=48, height=48,
+        )
+        batch = render_tiled_batch(m, q, s, o, c, stacked, opts)
+        assert batch.color.shape == (3, 48, 48, 3)
+        for i, cam in enumerate(cams):
+            single, _ = render_tiled(m, q, s, o, c, cam, opts)
+            # vmapped ops may fuse differently: ulp-level tolerance.
+            np.testing.assert_allclose(
+                np.asarray(batch.color[i]), np.asarray(single.color),
+                atol=5e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch.depth[i]), np.asarray(single.depth),
+                atol=1e-5,
+            )
