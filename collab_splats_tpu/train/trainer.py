@@ -219,9 +219,14 @@ class Trainer:
     def train_one_step(self) -> Dict[str, float]:
         cfg = self.config
         scfg = cfg.strategy
-        idx = int(jax.random.randint(
-            jax.random.fold_in(self.key, 4 * self.step), (), 0, len(self.cameras)
-        ))
+        # Host-side, step-keyed camera draw: a device-side draw would cost a
+        # device round trip per step, and keying by step keeps resumed runs
+        # on the identical camera sequence.
+        idx = int(
+            np.random.RandomState(self.config.seed * 9973 + self.step).randint(
+                len(self.cameras)
+            )
+        )
         camera, image = self.cameras[idx], self.images[idx]
         features_gt = self.features[idx] if self.features is not None else None
         step_key = jax.random.fold_in(self.key, 4 * self.step + 1)
