@@ -240,10 +240,31 @@ class Splatter:
         seed: int = 42,
         **method_kwargs: Any,
     ):
-        """Train the selected method in-process (resume point: any ckpt)."""
+        """Train the selected method in-process.
+
+        Resume semantics (reference splatter.py:331-337, extended): a
+        completed run is skipped; an *interrupted* run (latest checkpoint
+        step < max_iterations) is restored and continued to completion.
+        """
+        resume_run = None
         if self._runs() and not overwrite:
-            print(f"  checkpoints exist, skipping ({self.model_dir})")
-            return self._runs()[-1]
+            last = self._runs()[-1]
+            ck = ckpt_lib.latest_checkpoint(last)
+            saved_step = int(ck.name.split("-")[1].split(".")[0])
+            target = max_iterations
+            if target is None:
+                try:
+                    with open(last / "config.json") as f:
+                        target = json.load(f).get("max_iterations")
+                except OSError:
+                    target = None
+            if target is not None and saved_step < target:
+                print(f"  resuming interrupted run at step {saved_step} "
+                      f"({last})")
+                resume_run = last
+            else:
+                print(f"  checkpoints exist, skipping ({self.model_dir})")
+                return last
 
         spec = get_method(self.config["method"])
         dm = FullImageDatamanager.from_transforms_json(
@@ -296,7 +317,7 @@ class Splatter:
                 jax.random.PRNGKey(seed + 1), params, tconf.model
             )
 
-        run_dir = self.model_dir / datetime.datetime.now().strftime(
+        run_dir = resume_run or self.model_dir / datetime.datetime.now().strftime(
             "%Y-%m-%d_%H%M%S"
         )
         run_dir.mkdir(parents=True, exist_ok=True)
@@ -320,7 +341,10 @@ class Splatter:
             params, alive, groups=spec.groups, checkpoint_fn=save,
             features=features,
         )
+        if resume_run is not None:
+            trainer.restore(ckpt_lib.latest_checkpoint(resume_run))
         trainer.train(
+            num_steps=max(tconf.max_iterations - trainer.step, 0),
             eval_cameras=dm.eval_cameras,
             eval_images=[
                 im.astype(np.float32) / 255.0 for im in dm.eval_images

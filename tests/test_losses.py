@@ -78,3 +78,25 @@ class TestCosine:
         v = float(losses.depth_normal_loss(e1, e2, depth_ratio=0.6,
                                            depth_normal_lambda=0.05))
         assert v == pytest.approx(0.05 * (0.4 * 1.0 + 0.6 * 2.0), abs=1e-6)
+
+
+class TestProfiling:
+    def test_timed_measures_work(self):
+        from collab_splats_tpu.utils.profiling import timed
+
+        x = jnp.ones((512, 512))
+
+        def body(x):
+            return jnp.sum(x @ x)
+
+        t = timed(body, x, reps=(2, 6))
+        assert t >= 0.0
+
+    def test_trace_writes(self, tmp_path):
+        from collab_splats_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)) as d:
+            jnp.ones((64, 64)).sum().block_until_ready()
+        import os
+
+        assert any(os.scandir(d))

@@ -267,3 +267,38 @@ class TestFeatureCache:
         dm3 = FeatureDatamanager(base, cfg,
                                  image_names=[n + "_v2" for n in names])
         assert len(list((tmp_path / "cache").glob("*.npz"))) == 2
+
+
+class TestTrainingResume:
+    def test_interrupted_run_continues(self, tmp_path):
+        from collab_splats_tpu.data.synthetic import write_synthetic_dataset
+
+        write_synthetic_dataset(tmp_path / "in", n_cams=6, n_gaussians=80,
+                                width=32, height=32)
+        cfg = {
+            "file_path": str(tmp_path / "in"),
+            "method": "splatfacto",
+            "output_path": str(tmp_path / "out"),
+        }
+        tc = {"max_iterations": 12, "capacity": 256, "sh_degree": 0}
+        s = Splatter(cfg)
+        s.preprocess()
+        run = s.train(**tc)
+        # Simulate an interruption: delete the final checkpoint, keep an
+        # earlier one by writing a mid-step snapshot.
+        from collab_splats_tpu.train import checkpoint as ck
+
+        final = ck.latest_checkpoint(run)
+        step, params, alive, _ = ck.load_checkpoint(final)
+        assert step == 12
+        final.unlink()
+        ck.save_checkpoint(run, 5, params, alive)
+        # A fresh Splatter resumes and completes to max_iterations.
+        s2 = Splatter(cfg)
+        run2 = s2.train(**tc)
+        assert run2 == run
+        assert ck.latest_checkpoint(run).name == "step-00000012.ckpt.npz"
+        # And a third call skips (complete).
+        s3 = Splatter(cfg)
+        run3 = s3.train(**tc)
+        assert run3 == run
