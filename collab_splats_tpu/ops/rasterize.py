@@ -321,23 +321,40 @@ def render_from_projections(
     px_v = (jnp.arange(p, dtype=jnp.float32) // ts) + 0.5
     tile_ids = jnp.arange(t_pad, dtype=jnp.int32)
 
+    # One packed per-gaussian matrix so each chunk does a single *row*
+    # gather instead of seven 1-D gathers (1-D gathers are ~10x slower per
+    # element on TPU — see the binning profile note in ops/tiles.py).
+    per_gauss = jnp.concatenate(
+        [
+            proj.mean2d,            # 0:2
+            proj.conic,             # 2:5
+            proj.depth[:, None],    # 5
+            proj.plane,             # 6:8
+            opac[:, None],          # 8
+            normal_cam,             # 9:12
+            colors,                 # 12:
+        ],
+        axis=1,
+    )
+
     @jax.checkpoint
     def chunk_body(start):
         idx = jax.lax.dynamic_slice(tile_gauss, (start, 0), (tile_chunk, k_cap))
         msk = jax.lax.dynamic_slice(tile_mask, (start, 0), (tile_chunk, k_cap))
         tid = jax.lax.dynamic_slice(tile_ids, (start,), (tile_chunk,))
 
-        mean2d_g = proj.mean2d[idx]                      # [TC, K, 2]
+        g = per_gauss[idx]                               # [TC, K, 12+C]
+        mean2d_g = g[..., 0:2]
         if sink is not None:
             mean2d_g = mean2d_g + jax.lax.dynamic_slice(
                 sink, (start, 0, 0), (tile_chunk, k_cap, 2)
             )
-        conic_g = proj.conic[idx]
-        depth_g = proj.depth[idx]
-        plane_g = proj.plane[idx]
-        normal_g = normal_cam[idx]
-        opac_g = opac[idx]
-        colors_g = colors[idx]
+        conic_g = g[..., 2:5]
+        depth_g = g[..., 5]
+        plane_g = g[..., 6:8]
+        opac_g = g[..., 8]
+        normal_g = g[..., 9:12]
+        colors_g = g[..., 12:]
 
         txc = (tid % ntx).astype(jnp.float32)
         tyc = (tid // ntx).astype(jnp.float32)
