@@ -20,23 +20,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_window_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     g = np.exp(-(x**2) / (2 * sigma**2))
     g /= g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return g.astype(np.float32)
 
 
-_WINDOW = _gaussian_window()
+_WINDOW_1D = _gaussian_window_1d()
 
 
-def _filter2d(img: jax.Array, window: jax.Array) -> jax.Array:
-    """Depthwise 'valid' convolution of [H, W, C] with [k, k]."""
+def _filter2d(img: jax.Array, window_1d: jax.Array) -> jax.Array:
+    """Depthwise 'valid' Gaussian filter of [H, W, C].
+
+    The Gaussian window is separable: two k-tap passes instead of one
+    k*k-tap conv (profiled ~5x cheaper at 720p on TPU).
+    """
     c = img.shape[-1]
+    k = window_1d.shape[0]
     x = img.transpose(2, 0, 1)[None]           # [1, C, H, W]
-    w = jnp.broadcast_to(window[None, None], (c, 1, *window.shape))
+    w_row = jnp.broadcast_to(
+        window_1d[None, None, :, None], (c, 1, k, 1)
+    )
+    w_col = jnp.broadcast_to(
+        window_1d[None, None, None, :], (c, 1, 1, k)
+    )
     y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="VALID",
+        x, w_row, window_strides=(1, 1), padding="VALID",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    y = jax.lax.conv_general_dilated(
+        y, w_col, window_strides=(1, 1), padding="VALID",
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
@@ -51,7 +66,7 @@ def ssim(
     k2: float = 0.03,
 ) -> jax.Array:
     """Mean SSIM over an [H, W, C] image pair (11x11 Gaussian window)."""
-    window = jnp.asarray(_WINDOW)
+    window = jnp.asarray(_WINDOW_1D)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
     mu0 = _filter2d(img0, window)
