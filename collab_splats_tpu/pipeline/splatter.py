@@ -42,6 +42,16 @@ from .methods import METHODS, get_method
 
 DEFAULT_TIMEOUT = 3600
 
+
+def _tuplify(x):
+    """JSON round-trips tuples as lists; static configs need tuples back
+    (they are hashed as jit static arguments)."""
+    if isinstance(x, list):
+        return tuple(_tuplify(v) for v in x)
+    if isinstance(x, dict):
+        return {k: _tuplify(v) for k, v in x.items()}
+    return x
+
 VIDEO_EXTENSIONS = {".mp4", ".mov", ".avi", ".mkv", ".webm"}
 
 
@@ -324,9 +334,9 @@ class Splatter:
         with open(run_dir / "config.json", "w") as f:
             json.dump(
                 {"method": self.config["method"],
-                 "method_kwargs": {k: str(v) for k, v in method_kwargs.items()},
+                 "method_kwargs": method_kwargs,
                  "max_iterations": tconf.max_iterations},
-                f, indent=2,
+                f, indent=2, default=list,
             )
 
         def save(tr: Trainer):
@@ -367,9 +377,13 @@ class Splatter:
         path = ckpt_lib.latest_checkpoint(run)
         step, params, alive, _ = ckpt_lib.load_checkpoint(path)
         spec = get_method(self.config["method"])
-        with open(run / "config.json") as f:
-            saved = json.load(f)
-        tconf = spec.make_trainer_config()
+        try:
+            with open(run / "config.json") as f:
+                saved = json.load(f)
+            kwargs = _tuplify(saved.get("method_kwargs", {}))
+        except (OSError, json.JSONDecodeError):
+            kwargs = {}
+        tconf = spec.make_trainer_config(**kwargs)
         self._loaded = (step, params, alive, spec, tconf.model)
         return self._loaded
 

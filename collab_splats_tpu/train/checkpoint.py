@@ -42,7 +42,13 @@ def save_checkpoint(
     """Write ``step-{step:08d}.ckpt.npz`` (+ metadata.json once)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    payload = {f"params/{k}": np.asarray(v) for k, v in params.items()}
+    payload = {}
+    for k, v in params.items():
+        if isinstance(v, dict):  # nested subtrees (decoder, ...)
+            for k2, v2 in v.items():
+                payload[f"params/{k}/{k2}"] = np.asarray(v2)
+        else:
+            payload[f"params/{k}"] = np.asarray(v)
     payload["alive"] = np.asarray(alive)
     if opt_state is not None:
         payload.update(
@@ -80,11 +86,15 @@ def load_checkpoint(path: str | Path) -> Tuple[int, Dict[str, jnp.ndarray],
     m = re.match(r"step-(\d+)\.ckpt\.npz", path.name)
     step = int(m.group(1)) if m else 0
     data = np.load(path)
-    params = {
-        k.split("/", 1)[1]: jnp.asarray(data[k])
-        for k in data.files
-        if k.startswith("params/")
-    }
+    params: Dict[str, jnp.ndarray] = {}
+    for k in data.files:
+        if not k.startswith("params/"):
+            continue
+        parts = k.split("/")
+        if len(parts) == 2:
+            params[parts[1]] = jnp.asarray(data[k])
+        else:  # nested subtree, e.g. params/decoder/hidden_w
+            params.setdefault(parts[1], {})[parts[2]] = jnp.asarray(data[k])
     alive = jnp.asarray(data["alive"])
     extras = {
         k: data[k] for k in data.files

@@ -125,7 +125,7 @@ class Trainer:
         reg_active: bool,
     ):
         cfg = self.config.model
-        bg_key, split_key = jax.random.split(key)
+        bg_key, _ = jax.random.split(key)
         if cfg.render.backend == "pallas":
             from ..ops.rasterize import pallas_sink_shape
 

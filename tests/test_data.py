@@ -121,3 +121,24 @@ class TestCheckpoint:
         assert any(k.startswith("opt/") for k in extras)
         meta = json.loads((tmp_path / "ckpt" / "metadata.json").read_text())
         assert meta["method"] == "rade-gs"
+
+
+class TestCheckpointNestedParams:
+    def test_decoder_subtree_roundtrip(self, tmp_path):
+        from collab_splats_tpu.data.synthetic import random_gaussian_params
+        from collab_splats_tpu.features import decoder as dec
+        from collab_splats_tpu.train import checkpoint
+
+        params = random_gaussian_params(jax.random.PRNGKey(0), 16)
+        params["decoder"] = dec.init_decoder(
+            jax.random.PRNGKey(1), 13, 8, {"clip-vit": (4, 2, 2)}
+        )
+        p = checkpoint.save_checkpoint(
+            tmp_path, 7, params, jnp.ones(16, bool)
+        )
+        # Must load WITHOUT pickle (object arrays would need allow_pickle).
+        step, params2, alive, _ = checkpoint.load_checkpoint(p)
+        assert isinstance(params2["decoder"], dict)
+        np.testing.assert_array_equal(
+            params2["decoder"]["hidden_w"], params["decoder"]["hidden_w"]
+        )
