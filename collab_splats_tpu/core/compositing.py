@@ -70,13 +70,18 @@ def splat_alpha(
 def transmittance_weights(alphas: jax.Array) -> jax.Array:
     """Front-to-back compositing weights ``w_k = alpha_k * prod_{j<k}(1-a_j)``.
 
-    The exclusive cumulative transmittance is computed in log space as a
-    cumsum — the TPU-friendly replacement for the sequential per-pixel loop
-    of the CUDA rasterizer.
+    The exclusive cumulative transmittance is an exclusive ``cumprod``
+    (associative scan) — the TPU-friendly replacement for the sequential
+    per-pixel loop of the CUDA rasterizer, with no transcendentals (the
+    log-space formulation costs a log1p + exp per element; profiled on the
+    compositing hot path).
     """
-    log_one_minus = jnp.log1p(-alphas)
-    log_t = jnp.cumsum(log_one_minus, axis=-1) - log_one_minus
-    return alphas * jnp.exp(log_t)
+    one_minus = 1.0 - alphas
+    t_incl = jnp.cumprod(one_minus, axis=-1)
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )
+    return alphas * t_excl
 
 
 def median_select(weights: jax.Array, depth_per_pixel: jax.Array) -> jax.Array:
@@ -123,9 +128,9 @@ def composite(
     """
     weights = transmittance_weights(alphas)                     # [..., L]
 
-    # 1 - prod(1-a) via expm1: algebraically equals sum(weights) but cannot
-    # round above 1.0 in f32.
-    alpha_out = -jnp.expm1(jnp.sum(jnp.log1p(-alphas), axis=-1))
+    # 1 - prod(1-a): algebraically equals sum(weights) but cannot round
+    # above 1.0 in f32.
+    alpha_out = 1.0 - jnp.prod(1.0 - alphas, axis=-1)
     color_out = jnp.sum(weights[..., None] * colors, axis=-2)
     normal_out = jnp.sum(weights[..., None] * normals, axis=-2)
 

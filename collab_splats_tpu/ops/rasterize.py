@@ -370,8 +370,8 @@ def render_from_projections(
 
         color = jnp.einsum("tpk,tkc->tpc", weights, colors_g)
         normal = jnp.einsum("tpk,tkc->tpc", weights, normal_g)
-        # 1 - prod(1-a) via expm1: equals sum(weights) but never rounds > 1.
-        alpha_out = -jnp.expm1(jnp.sum(jnp.log1p(-alphas), axis=-1))
+        # 1 - prod(1-a): equals sum(weights) but never rounds above 1.
+        alpha_out = 1.0 - jnp.prod(1.0 - alphas, axis=-1)
         t_pix = depth_g[:, None, :] \
             + plane_g[:, None, :, 0] * du + plane_g[:, None, :, 1] * dv
         t_pix = jnp.clip(t_pix, opts.near_plane, None)

@@ -107,10 +107,12 @@ def update_state(
     g = jnp.abs(sink_grad).reshape(-1, 2)
     g = jnp.where(mask[:, None], g, 0.0)
     idx = jnp.where(mask, idx, c)  # dropped
-    gu = jnp.zeros((c,), jnp.float32).at[idx].add(g[:, 0], mode="drop")
-    gv = jnp.zeros((c,), jnp.float32).at[idx].add(g[:, 1], mode="drop")
+    # One 2-column row scatter (1-D scatters cost ~10x more per element).
+    guv = jnp.zeros((c, 2), jnp.float32).at[idx].add(g, mode="drop")
     scale = 0.5 * max(meta.width, meta.height)
-    grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
+    grad_ndc = jnp.sqrt(
+        (guv[:, 0] * scale) ** 2 + (guv[:, 1] * scale) ** 2
+    )
 
     visible = meta.proj.valid
     radii_frac = meta.proj.radius / float(max(meta.width, meta.height))
@@ -137,11 +139,12 @@ def update_state_from_isect(
     )
     # Only slots inside real tile segments carry gradients; the backward
     # kernel zero-fills the rest, so an unmasked scatter-add is safe.
-    g = jnp.abs(sink_grad)
-    gu = jnp.zeros((c,), jnp.float32).at[gid].add(g[0], mode="drop")
-    gv = jnp.zeros((c,), jnp.float32).at[gid].add(g[1], mode="drop")
+    g = jnp.abs(sink_grad).T                              # [M, 2]
+    guv = jnp.zeros((c, 2), jnp.float32).at[gid].add(g, mode="drop")
     scale = 0.5 * max(meta.width, meta.height)
-    grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
+    grad_ndc = jnp.sqrt(
+        (guv[:, 0] * scale) ** 2 + (guv[:, 1] * scale) ** 2
+    )
     visible = meta.proj.valid
     radii_frac = meta.proj.radius / float(max(meta.width, meta.height))
     return StrategyState(
