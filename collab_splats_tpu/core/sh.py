@@ -63,7 +63,7 @@ def eval_sh_basis(dirs: jax.Array, num_bases: int) -> jax.Array:
             _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
             _C3[4] * x * (4.0 * zz - xx - yy),
             _C3[5] * z * (xx - yy),
-            _C3[6] * x * (xx - yy),
+            _C3[6] * x * (xx - 3.0 * yy),
         ]
     return jnp.stack(basis, axis=-1)
 

@@ -80,7 +80,10 @@ def make_sharded_train_step(
     Returns:
         step(params, alive, opt_state, strat_state, cams: CameraBatch,
              images [B,H,W,3], step_idx, key)
-          -> (params, alive_unused, opt_state, strat_state, metrics dict)
+          -> (params, opt_state, strat_state, metrics dict)
+
+        ``B`` must equal the data-axis size (one camera per data shard);
+        the wrapper raises otherwise rather than silently dropping extras.
     """
     n_gauss = mesh.shape[GAUSS_AXIS]
     assert capacity % n_gauss == 0
@@ -230,4 +233,58 @@ def make_sharded_train_step(
         }
         return params, opt_state, strat_state, metrics
 
-    return jax.jit(step, static_argnames=())
+    jitted = jax.jit(step, static_argnames=())
+    n_data = mesh.shape[DATA_AXIS]
+
+    def checked(params, alive, opt_state, strat_state, cams, images,
+                step_idx, key):
+        b = cams.K.shape[0]
+        if b != n_data:
+            raise ValueError(
+                f"sharded step needs exactly one camera per data shard: "
+                f"got {b} cameras for data axis size {n_data}"
+            )
+        return jitted(params, alive, opt_state, strat_state, cams, images,
+                      step_idx, key)
+
+    return checked
+
+
+def make_sharded_refine_step(
+    strategy_cfg,
+    scene_scale: float = 1.0,
+):
+    """Sharded densify/prune (VERDICT round-1 Next #5).
+
+    ``train.strategy.refine`` is pure jittable XLA on full [C] arrays, so
+    the TPU-native way to shard it is NOT a hand-written shard_map but
+    plain ``jit`` over the already-gauss-sharded params/state from
+    :func:`make_sharded_train_step`: GSPMD propagates the input shardings
+    through the cumsums/sorts/scatters and inserts the (cheap, every-100-
+    steps) collectives itself.  Because it is the *same program* as the
+    single-device refine, sharded trajectories match single-device ones to
+    float tolerance — tested in tests/test_parallel.py.
+
+    Returns refine(params, alive, strat_state, opt_state, key,
+                   allow_split, scale_cull, screen_cull)
+        -> (params, alive, opt_state, strat_state, counts)
+    """
+    from ..train import strategy
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("allow_split", "scale_cull", "screen_cull"),
+    )
+    def refine_step(params, alive, strat_state, opt_state, key,
+                    allow_split=True, scale_cull=False, screen_cull=False):
+        res = strategy.refine(
+            params, alive, strat_state, key, strategy_cfg,
+            scene_scale=scene_scale, allow_split=allow_split,
+            scale_cull=scale_cull, screen_size_cull=screen_cull,
+        )
+        opt_state = strategy.zero_opt_rows(opt_state, res.written)
+        return res.params, res.alive, opt_state, res.state, (
+            res.n_dup, res.n_split, res.n_cull, res.dropped
+        )
+
+    return refine_step

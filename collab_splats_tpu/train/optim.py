@@ -98,3 +98,54 @@ def make_optimizer(
 def default_labels(params: Dict[str, jax.Array]):
     """Label each top-level param array with its own name."""
     return {k: k for k in params}
+
+
+def zero_group_moments(opt_state, label: str):
+    """Zero the Adam moment arrays of one ``multi_transform`` group.
+
+    Used on opacity reset: gsplat's DefaultStrategy and nerfstudio's
+    Splatfacto both zero the opacity optimizer state when opacities are
+    clamped, otherwise the accumulated momentum immediately pushes
+    opacities back up and the reset's pruning effect is lost.  The step
+    count (scalar leaves) is preserved so bias correction stays consistent.
+    """
+    inner = dict(opt_state.inner_states)
+    if label not in inner:
+        return opt_state
+
+    def fix(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    inner[label] = jax.tree_util.tree_map(fix, inner[label])
+    return opt_state._replace(inner_states=inner)
+
+
+def graft_opt_state(fresh_state, old_state):
+    """Copy surviving optimizer-state rows from ``old_state`` into a freshly
+    initialized ``fresh_state`` after capacity growth.
+
+    Leaves with identical shapes (scalars like Adam's step count, and any
+    group untouched by growth) are taken from the old state verbatim;
+    capacity-major arrays keep their old rows and zero-init the new slots —
+    matching the reference stack, which preserves moments for existing
+    Gaussians and only zeroes new ones (nerfstudio splatfacto
+    dup_in_all_optim / gsplat DefaultStrategy semantics).
+    """
+
+    def graft(new_leaf, old_leaf):
+        if not hasattr(old_leaf, "shape") or not hasattr(new_leaf, "shape"):
+            return old_leaf
+        if old_leaf.shape == new_leaf.shape:
+            return old_leaf
+        if (
+            old_leaf.ndim >= 1
+            and new_leaf.ndim == old_leaf.ndim
+            and new_leaf.shape[1:] == old_leaf.shape[1:]
+            and new_leaf.shape[0] >= old_leaf.shape[0]
+        ):
+            return new_leaf.at[: old_leaf.shape[0]].set(old_leaf)
+        return new_leaf
+
+    return jax.tree_util.tree_map(graft, fresh_state, old_state)

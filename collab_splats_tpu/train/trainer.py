@@ -66,8 +66,12 @@ class Trainer:
         groups: Optional[Dict[str, optim.GroupSpec]] = None,
         checkpoint_fn: Optional[Callable] = None,
         features: Optional[Sequence[Dict]] = None,
+        writers: Optional[Sequence] = None,
     ):
         assert len(cameras) == len(images)
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()  # multi-minute TPU compiles, cached on disk
         self.config = config
         self.cameras = list(cameras)
         self.images = [jnp.asarray(im, jnp.float32) for im in images]
@@ -106,6 +110,9 @@ class Trainer:
         self.key = jax.random.PRNGKey(config.seed)
         self.step = 0
         self.checkpoint_fn = checkpoint_fn
+        # Metric sinks (utils/writers.py: jsonl / tensorboard / wandb),
+        # mirroring the reference's nerfstudio --vis options.
+        self.writers = list(writers or [])
         self.history: List[Dict[str, float]] = []
 
     # ------------------------------------------------------------------ jit
@@ -258,6 +265,11 @@ class Trainer:
             ]
         if scfg.is_reset_step(self.step):
             self.params = strategy.reset_opacity(self.params, scfg)
+            # Zero the opacity Adam moments, else accumulated momentum undoes
+            # the clamp within a few steps (gsplat/Splatfacto both do this).
+            self.opt_state = optim.zero_group_moments(
+                self.opt_state, "opacities"
+            )
 
         out = {k: float(v) for k, v in metrics.items()}
         out["num_gaussians"] = int(num_alive(self.alive))
@@ -269,9 +281,17 @@ class Trainer:
         n = int(num_alive(self.alive))
         if n * self.config.capacity_headroom > c:
             new_c = int(c * 2)
+            old_opt, old_strat = self.opt_state, self.strat_state
             self.params, self.alive = grow_capacity(self.params, self.alive, new_c)
-            self.opt_state = self.optimizer.init(self.params)  # fresh moments
-            self.strat_state = strategy.init_state(new_c)
+            # Preserve Adam moments for surviving rows; only new slots start
+            # from zero (reference semantics — a full moment reset causes a
+            # transient optimization shock at every growth event).
+            self.opt_state = optim.graft_opt_state(
+                self.optimizer.init(self.params), old_opt
+            )
+            self.strat_state = optim.graft_opt_state(
+                strategy.init_state(new_c), old_strat
+            )
 
     def train(
         self,
@@ -316,6 +336,8 @@ class Trainer:
                     f"step {self.step:6d}  eval-all psnr "
                     f"{self.history[-1]['eval_all_psnr']:.2f}"
                 )
+            for w in self.writers:
+                w.write(self.step, self.history[-1])
             if self.step % log_every == 0:
                 rate = self.step / max(time.time() - t0, 1e-9)
                 log_fn(
@@ -373,15 +395,26 @@ class Trainer:
                 )
 
     # ----------------------------------------------------------------- eval
+    # Module-level jit wrapper: a fresh `jax.jit(...)` per call would discard
+    # the compilation cache and recompile on every eval image.
+    _eval_outputs = staticmethod(
+        jax.jit(
+            rade_gs.get_outputs,
+            static_argnames=("config", "training", "compute_error_maps"),
+        )
+    )
+
     def eval_image(self, camera: Camera, image) -> Dict[str, float]:
-        outputs, _ = jax.jit(
-            rade_gs.get_outputs, static_argnames=("config", "training",
-                                                  "compute_error_maps")
-        )(
+        outputs, _ = self._eval_outputs(
             self.params, self.alive, camera, self.step, self.config.model,
             rng=None, training=False,
         )
-        return {
+        metrics = {
             "psnr": float(losses.psnr(outputs["rgb"], jnp.asarray(image))),
             "ssim": float(losses.ssim(outputs["rgb"], jnp.asarray(image))),
         }
+        from ..utils import lpips as lp
+
+        if lp.lpips_available():
+            metrics["lpips"] = lp.lpips(outputs["rgb"], image)
+        return metrics

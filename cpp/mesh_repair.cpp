@@ -9,6 +9,7 @@
 //
 // Build: make -C cpp   (produces libmesh_repair.so)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -115,9 +116,12 @@ int32_t weld_vertices(int32_t n, const float* points, double inv_eps,
   int32_t n_unique = 0;
   std::vector<int64_t> qx(n), qy(n), qz(n);
   for (int32_t i = 0; i < n; ++i) {
-    qx[i] = static_cast<int64_t>(points[3 * i] * inv_eps + 0.5);
-    qy[i] = static_cast<int64_t>(points[3 * i + 1] * inv_eps + 0.5);
-    qz[i] = static_cast<int64_t>(points[3 * i + 2] * inv_eps + 0.5);
+    // llround: uniform round-to-nearest for negative and positive coords
+    // (a +0.5 truncation cast shifts every negative bin and widens the one
+    // containing zero).
+    qx[i] = std::llround(points[3 * i] * inv_eps);
+    qy[i] = std::llround(points[3 * i + 1] * inv_eps);
+    qz[i] = std::llround(points[3 * i + 2] * inv_eps);
   }
   for (int32_t i = 0; i < n; ++i) {
     uint64_t hk = h(qx[i], qy[i], qz[i]);

@@ -216,3 +216,64 @@ class TestResume:
             np.asarray(tr_c.params["means"]), np.asarray(tr_a.params["means"]),
             atol=1e-6,
         )
+
+
+class TestOptimizerStateHygiene:
+    """Adam-moment handling around opacity reset and capacity growth."""
+
+    def _tiny_trainer(self):
+        gt, cams, images, cfg = _make_scene(n=50, n_cams=2, size=32)
+        tc = TrainerConfig(model=cfg, strategy=strategy.StrategyConfig(
+            warmup_length=1, refine_every=5))
+        alive = jnp.ones(50, bool)
+        return Trainer(tc, cams, images, dict(gt), alive)
+
+    def test_reset_zeroes_opacity_moments_only(self):
+        from collab_splats_tpu.train import optim
+
+        tr = self._tiny_trainer()
+        for _ in range(3):
+            tr.train_one_step()
+        st = tr.opt_state
+
+        def nonzero(label):
+            leaves = jax.tree_util.tree_leaves(st.inner_states[label])
+            return any(
+                hasattr(x, "ndim") and x.ndim >= 1 and float(jnp.abs(x).max()) > 0
+                for x in leaves
+            )
+
+        assert nonzero("opacities") and nonzero("means")
+        st2 = optim.zero_group_moments(st, "opacities")
+        op_leaves = jax.tree_util.tree_leaves(st2.inner_states["opacities"])
+        for x in op_leaves:
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                assert float(jnp.abs(x).max()) == 0.0
+        m2 = jax.tree_util.tree_leaves(st2.inner_states["means"])
+        m1 = jax.tree_util.tree_leaves(st.inner_states["means"])
+        for a, b in zip(m1, m2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_capacity_growth_preserves_moments(self):
+        tr = self._tiny_trainer()
+        for _ in range(3):
+            tr.train_one_step()
+        old = tr.opt_state
+        old_mu = np.asarray([
+            x for x in jax.tree_util.tree_leaves(old.inner_states["means"])
+            if hasattr(x, "ndim") and x.ndim >= 1
+        ][0])
+        # Force growth: shrink headroom so any occupancy triggers doubling.
+        object.__setattr__(tr.config, "capacity_headroom", 1e9)
+        c = tr.alive.shape[0]
+        tr._maybe_grow_capacity()
+        assert tr.alive.shape[0] == 2 * c
+        new_leaves = [
+            x for x in jax.tree_util.tree_leaves(
+                tr.opt_state.inner_states["means"]
+            )
+            if hasattr(x, "ndim") and x.ndim >= 1
+        ]
+        grown_mu = np.asarray(new_leaves[0])
+        np.testing.assert_array_equal(grown_mu[:c], old_mu)
+        np.testing.assert_array_equal(grown_mu[c:], 0.0)
