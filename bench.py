@@ -23,6 +23,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from collab_splats_tpu.utils.cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    log(f"compilation cache: {cache_dir}")
+
     from collab_splats_tpu.core.options import RenderOptions
     from collab_splats_tpu.core.sh import sh0_to_rgb
     from collab_splats_tpu.data.synthetic import (

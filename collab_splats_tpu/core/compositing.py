@@ -100,6 +100,104 @@ def median_select(weights: jax.Array, depth_per_pixel: jax.Array) -> jax.Array:
     return jnp.take_along_axis(depth_per_pixel, idx[..., None], axis=-1)[..., 0]
 
 
+def _weights_from_alphas(alphas: jax.Array):
+    """(w, t_excl, t_total): compositing weights, exclusive transmittance,
+    and the post-list transmittance prod(1-a)."""
+    one_minus = 1.0 - alphas
+    t_incl = jnp.cumprod(one_minus, axis=-1)
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )
+    return alphas * t_excl, t_excl, t_incl[..., -1]
+
+
+def _median_index(weights: jax.Array) -> jax.Array:
+    """Index of the first splat whose accumulated weight crosses 0.5
+    (fallback: the max-weight splat).  Piecewise-constant — no gradient."""
+    accum = jnp.cumsum(weights, axis=-1)
+    crossed = accum >= 0.5
+    cross_idx = jnp.argmax(crossed, axis=-1)
+    has_cross = jnp.any(crossed, axis=-1)
+    fallback_idx = jnp.argmax(weights, axis=-1)
+    return jnp.where(has_cross, cross_idx, fallback_idx)
+
+
+@jax.custom_vjp
+def composite_chunk(alphas: jax.Array, tpix: jax.Array, values: jax.Array):
+    """Fused compositing over one tile chunk with an **analytic backward**.
+
+    This is the hot op of the tiled rasterizer.  Reverse-differentiating the
+    forward formulation (exclusive ``cumprod`` + ``prod`` + ``take_along_axis``)
+    leaves XLA with the generic transposes of those scans, which profiled at
+    ~10x the forward cost at 1M Gaussians / 720p.  The analytic VJP is the
+    same suffix-sum recurrence the CUDA rasterizer's backward kernel uses
+    (back-to-front accumulation): for L = sum_k w_k r_k with
+    w_k = a_k prod_{j<k}(1-a_j),
+
+        dL/da_i = T_i r_i - (sum_{k>i} w_k r_k) / (1 - a_i),
+
+    i.e. one extra einsum (r) plus one reverse cumsum — backward ~= forward.
+
+    Args:
+        alphas: [T, P, K] per-(tile, pixel, splat) alphas, front-to-back
+            along K, exactly 0 where masked (see :func:`splat_alpha`).
+        tpix: [T, P, K] per-pixel plane-corrected splat depths.
+        values: [T, K, V] per-splat composited channels (colors ++ normals).
+
+    Returns:
+        (out_v [T,P,V], alpha_out [T,P], depth_acc [T,P], median [T,P]).
+        ``depth_acc`` is the unnormalized expected depth; callers divide by
+        alpha if requested.  Median-depth gradients flow through the selected
+        splat's depth only (selection index is piecewise constant).
+    """
+    out, _ = _composite_chunk_fwd(alphas, tpix, values)
+    return out
+
+
+def _composite_chunk_fwd(alphas, tpix, values):
+    w, t_excl, t_total = _weights_from_alphas(alphas)
+    out_v = jnp.einsum("tpk,tkv->tpv", w, values)
+    alpha_out = 1.0 - t_total
+    depth_acc = jnp.sum(w * tpix, axis=-1)
+    idx = _median_index(w)
+    median = jnp.take_along_axis(tpix, idx[..., None], axis=-1)[..., 0]
+    median = jnp.where(alpha_out > 0.0, median, 0.0)
+    res = (alphas, tpix, values, idx, t_excl, t_total)
+    return (out_v, alpha_out, depth_acc, median), res
+
+
+def _composite_chunk_bwd(res, cot):
+    alphas, tpix, values, idx, t_excl, t_total = res
+    g_v, g_alpha, g_depth, g_med = cot
+    w = alphas * t_excl
+
+    # Per-(pixel, splat) value-cotangent r_k = values_k . g_v + g_depth*tpix_k.
+    r = jnp.einsum("tpv,tkv->tpk", g_v, values) + g_depth[..., None] * tpix
+    s = w * r
+    # Exclusive suffix sum: sum_{k>i} s_k.
+    suffix = jax.lax.cumsum(s, axis=s.ndim - 1, reverse=True) - s
+    # alphas <= ALPHA_MAX = 0.999, so 1-a >= 1e-3; masked slots have a == 0.
+    inv1m = 1.0 / jnp.maximum(1.0 - alphas, 1.0 - ALPHA_MAX)
+    d_alphas = (
+        t_excl * r
+        - suffix * inv1m
+        + (g_alpha * t_total)[..., None] * inv1m
+    )
+
+    d_values = jnp.einsum("tpk,tpv->tkv", w, g_v)
+
+    g_med = jnp.where(t_total < 1.0, g_med, 0.0)  # median masked at alpha==0
+    k = alphas.shape[-1]
+    onehot = (
+        jnp.arange(k, dtype=jnp.int32) == idx[..., None]
+    ).astype(alphas.dtype)
+    d_tpix = w * g_depth[..., None] + g_med[..., None] * onehot
+    return d_alphas, d_tpix, d_values
+
+
+composite_chunk.defvjp(_composite_chunk_fwd, _composite_chunk_bwd)
+
+
 def composite(
     alphas: jax.Array,
     depth_per_pixel: jax.Array,

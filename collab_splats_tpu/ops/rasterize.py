@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.cameras import Camera
-from ..core.compositing import median_select, splat_alpha, transmittance_weights
+from ..core.compositing import composite_chunk, splat_alpha
 from ..core.golden import RenderOutput
 from ..core.options import RenderOptions
 from ..core.projection import Projection, project_gaussians
@@ -366,22 +366,22 @@ def render_from_projections(
         alphas = splat_alpha(
             du, dv, conic_g[:, None], opac_g[:, None], msk[:, None]
         )
-        weights = transmittance_weights(alphas)          # [TC, P, K]
-
-        color = jnp.einsum("tpk,tkc->tpc", weights, colors_g)
-        normal = jnp.einsum("tpk,tkc->tpc", weights, normal_g)
-        # 1 - prod(1-a): equals sum(weights) but never rounds above 1.
-        alpha_out = 1.0 - jnp.prod(1.0 - alphas, axis=-1)
         t_pix = depth_g[:, None, :] \
             + plane_g[:, None, :, 0] * du + plane_g[:, None, :, 1] * dv
         t_pix = jnp.clip(t_pix, opts.near_plane, None)
-        depth_acc = jnp.sum(weights * t_pix, axis=-1)
+        # One fused composite with the analytic suffix-sum backward
+        # (core/compositing.composite_chunk); colors and normals ride the
+        # same einsum.
+        vals = jnp.concatenate([colors_g, normal_g], axis=-1)
+        out_v, alpha_out, depth_acc, median = composite_chunk(
+            alphas, t_pix, vals
+        )
+        color = out_v[..., :c_dim]
+        normal = out_v[..., c_dim:]
         if opts.normalize_depth:
             depth_out = depth_acc / jnp.clip(alpha_out, 1e-10, None)
         else:
             depth_out = depth_acc
-        median = median_select(weights, t_pix)
-        median = jnp.where(alpha_out > 0.0, median, 0.0)
         return color, alpha_out, depth_out, median, normal
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * tile_chunk
