@@ -188,37 +188,153 @@ class ViTExtractor(BaseExtractor):
         return np.asarray(feats).reshape(ph, pw, -1).transpose(2, 0, 1)
 
 
+def _prep_image(image, resolution, patch_size, mean, std):
+    """Resize longest edge to ``resolution``, snap to patch multiples,
+    normalize.  Returns (img [th, tw, 3], ph, pw)."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    scale = resolution / max(h, w)
+    th = max(int(round(h * scale)) // patch_size, 1) * patch_size
+    tw = max(int(round(w * scale)) // patch_size, 1) * patch_size
+    img = np.asarray(jax.image.resize(jnp.asarray(img), (th, tw, 3), "linear"))
+    img = (img - np.asarray(mean)) / np.asarray(std)
+    return img, th // patch_size, tw // patch_size
+
+
 @register("dinov2")
 @dataclasses.dataclass
-class DINOv2Extractor(ViTExtractor):
-    """DINOv2 ViT-S/14 shape (features.py:336-400); resolution 800."""
+class DINOv2Extractor(BaseExtractor):
+    """DINOv2 patch features (reference features.py:336-400, torchhub
+    ``dinov2_vits14``, resolution 800, ``x_norm_patchtokens`` output).
+
+    With converted weights (``weights/dinov2_vits14.npz`` — see
+    scripts/convert_weights.py) this runs the released 12-block ViT-S/14;
+    offline it runs the same architecture (CLS + interpolated pos embed +
+    LayerScale) at ``offline_blocks`` random-init blocks so the distillation
+    pipeline stays exercisable without downloads.
+    """
 
     feature_dim: int = 384
-    n_blocks: int = 4          # 12 with real weights; 4 keeps offline fast
+    patch_size: int = 14
+    num_heads: int = 6
     resolution: int = 800
+    offline_blocks: int = 4
+    weights_npz: Optional[str] = None
+    mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    std: Tuple[float, ...] = (0.5, 0.5, 0.5)
+
+    def __post_init__(self):
+        from . import vit, weights as wdisc
+
+        path = self.weights_npz or wdisc.find_weights("dinov2_vits14.npz")
+        if path:
+            data = np.load(path)
+            self.params = {k: jnp.asarray(data[k]) for k in data.files}
+            self.pretrained = True
+        else:
+            self.params = vit.init_dinov2_params(
+                jax.random.PRNGKey(0), self.feature_dim,
+                self.offline_blocks, self.patch_size,
+            )
+            self.pretrained = False
+        self._fwd = jax.jit(
+            lambda img: vit.dinov2_forward(
+                self.params, img, self.num_heads, self.patch_size
+            )
+        )
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        img, ph, pw = _prep_image(
+            image, self.resolution, self.patch_size, self.mean, self.std
+        )
+        feats = self._fwd(jnp.asarray(img))              # [ph*pw, D]
+        return np.asarray(feats).reshape(ph, pw, -1).transpose(2, 0, 1)
 
 
 @register("clip-vit")
 @register("samclip")
 @dataclasses.dataclass
-class MaskCLIPExtractor(ViTExtractor):
-    """MaskCLIP ViT patch encoder + hashed text tower.
+class MaskCLIPExtractor(BaseExtractor):
+    """MaskCLIP dense CLIP features + CLIP text tower (reference
+    features.py:148-267, maskclip_onnx "ViT-L/14@336px", resolution 1024).
 
-    Without released CLIP weights the text tower embeds tokens by seeded
-    random projection — deterministic per string, unit-norm, so the
-    similarity pipeline is exercisable end-to-end; with weights it becomes
-    the real text transformer.
+    With converted weights (``weights/clip_vitl14_336.npz``) this runs the
+    released 24-block ViT-L/14 visual tower with the MaskCLIP value-path
+    head and the 12-block text transformer (BPE tokenizer gated on the
+    standard CLIP vocab file — see features/clip_tokenizer.py).  Offline it
+    runs the same architecture at reduced width/depth with random init, and
+    text falls back to deterministic seeded projections so the similarity
+    pipeline stays testable end-to-end.
     """
 
-    feature_dim: int = 512
-    n_blocks: int = 4
-    num_heads: int = 8
-    resolution: int = 1024
+    feature_dim: int = 768      # joint embed dim (what downstream consumes)
     patch_size: int = 14
+    resolution: int = 1024
+    weights_npz: Optional[str] = None
+    offline_width: int = 192
+    offline_blocks: int = 3
     mean: Tuple[float, ...] = (0.485, 0.456, 0.406)
     std: Tuple[float, ...] = (0.229, 0.224, 0.225)
 
+    def __post_init__(self):
+        from . import vit, weights as wdisc
+
+        path = self.weights_npz or wdisc.find_weights("clip_vitl14_336.npz")
+        if path:
+            data = np.load(path)
+            self.params = {k: jnp.asarray(data[k]) for k in data.files}
+            self.pretrained = True
+            width = self.params["visual.ln_pre.scale"].shape[0]
+            self.num_heads = width // 64
+            self.text_heads = self.params["text.ln_final.scale"].shape[0] // 64
+            self.feature_dim = int(self.params["visual.proj"].shape[1])
+        else:
+            w = self.offline_width
+            self.params = {
+                **vit.init_clip_visual_params(
+                    jax.random.PRNGKey(0), dim=w,
+                    n_blocks=self.offline_blocks,
+                    patch_size=self.patch_size, embed_dim=self.feature_dim,
+                ),
+                **vit.init_clip_text_params(
+                    jax.random.PRNGKey(1), dim=w,
+                    n_blocks=self.offline_blocks, vocab=512,
+                    embed_dim=self.feature_dim,
+                ),
+            }
+            self.pretrained = False
+            self.num_heads = max(w // 64, 1)
+            self.text_heads = max(w // 64, 1)
+        self._fwd = jax.jit(
+            lambda img: vit.maskclip_forward(
+                self.params, img, self.num_heads, self.patch_size
+            )
+        )
+        self._txt = jax.jit(
+            lambda toks: vit.clip_text_forward(
+                self.params, toks, self.text_heads
+            )
+        )
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        img, ph, pw = _prep_image(
+            image, self.resolution, self.patch_size, self.mean, self.std
+        )
+        feats = self._fwd(jnp.asarray(img))              # [ph*pw, E]
+        return np.asarray(feats).reshape(ph, pw, -1).transpose(2, 0, 1)
+
     def encode_text(self, texts) -> np.ndarray:
+        from .clip_tokenizer import get_tokenizer
+
+        tok = get_tokenizer() if self.pretrained else None
+        if tok is not None:
+            out = []
+            for t in texts:
+                ids = jnp.asarray(tok.encode(t, context_length=77))
+                v = np.asarray(self._txt(ids))
+                out.append(v / np.linalg.norm(v))
+            return np.stack(out).astype(np.float32)
+        # Deterministic offline fallback: seeded unit projections.
         out = []
         for t in texts:
             seed = int.from_bytes(
