@@ -288,18 +288,22 @@ class MarchingCubesMeshExporter(LevelSetExtractor):
 
 class DepthAndNormalMapsPoissonExporter:
     """Back-project rendered depth + normal maps into an oriented point
-    cloud ready for Poisson reconstruction (reference
-    DepthAndNormalMapsPoisson, mesh.py:833-1041)."""
+    cloud and run Poisson surface reconstruction over it (reference
+    DepthAndNormalMapsPoisson, mesh.py:833-1041: Open3D
+    ``create_from_point_cloud_poisson(depth=9)``; here the spectral grid
+    solver in meshing/poisson.py)."""
 
     def __init__(self, params, alive, model_config,
                  depth_name: str = "median_depth", alpha_thresh: float = 0.5,
-                 stride: int = 2):
+                 stride: int = 2, grid_res: int = 256, screen: float = 0.0):
         self.params = params
         self.alive = alive
         self.model_config = model_config
         self.depth_name = depth_name
         self.alpha_thresh = alpha_thresh
         self.stride = stride
+        self.grid_res = grid_res
+        self.screen = screen
 
     def main(self, cameras: Sequence[Camera], output_dir=None):
         from ..core.cameras import camera_rays
@@ -336,6 +340,13 @@ class DepthAndNormalMapsPoissonExporter:
         colors = np.concatenate(all_colors) if all_colors else np.zeros((0, 3))
         nn = np.linalg.norm(normals, axis=-1, keepdims=True)
         normals = normals / np.clip(nn, 1e-8, None)
+
+        from .poisson import poisson_reconstruct
+
+        verts, faces, vcols = poisson_reconstruct(
+            pts, normals, grid_res=self.grid_res, screen=self.screen,
+            colors=np.clip(colors, 0, 1),
+        )
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
@@ -343,18 +354,27 @@ class DepthAndNormalMapsPoissonExporter:
                       pts.astype(np.float32),
                       colors=np.clip(colors, 0, 1).astype(np.float32),
                       normals=normals.astype(np.float32))
-        return {"points": pts, "normals": normals, "colors": colors}
+            if len(verts):
+                write_ply(str(output_dir / "mesh.ply"), verts,
+                          colors=vcols, faces=faces)
+        return {"points": pts, "normals": normals, "colors": colors,
+                "vertices": verts, "faces": faces,
+                "vertex_colors": vcols}
 
 
 class GaussiansToPoissonExporter:
     """Point-cloud route (reference GaussiansToPoisson, mesh.py:642-830):
-    exports the splat centers with normals + colors as an oriented point
-    cloud ready for Poisson reconstruction (C++ module / external tool)."""
+    splat centers with min-axis normals + colors feed the spectral Poisson
+    solver (meshing/poisson.py), replacing the reference's Open3D
+    ``create_from_point_cloud_poisson`` call at mesh.py:812-816."""
 
-    def __init__(self, params, alive, model_config):
+    def __init__(self, params, alive, model_config, grid_res: int = 256,
+                 screen: float = 0.0):
         self.params = params
         self.alive = alive
         self.model_config = model_config
+        self.grid_res = grid_res
+        self.screen = screen
 
     def main(self, output_dir: str | Path, opacity_thresh: float = 0.1):
         alive = np.asarray(self.alive)
@@ -367,8 +387,18 @@ class GaussiansToPoissonExporter:
         normals = np.asarray(
             min_axis_normal(self.params["quats"], jnp.exp(self.params["scales"]))
         )[keep]
+        from .poisson import poisson_reconstruct
+
+        verts, faces, vcols = poisson_reconstruct(
+            means, normals, grid_res=self.grid_res, screen=self.screen,
+            colors=colors,
+        )
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         write_ply(str(output_dir / "oriented_points.ply"), means,
                   colors=colors, normals=normals)
-        return {"points": means, "colors": colors, "normals": normals}
+        if len(verts):
+            write_ply(str(output_dir / "mesh.ply"), verts,
+                      colors=vcols, faces=faces)
+        return {"points": means, "colors": colors, "normals": normals,
+                "vertices": verts, "faces": faces, "vertex_colors": vcols}

@@ -137,13 +137,24 @@ def marching_tetrahedra(
             eb = np.array([_TET_EDGES[e][1] for e in tri_edges[:, k]])
             va = tv[c_sel, ea]
             vb = tv[c_sel, eb]
-            t = (level - va) / np.where(
-                np.abs(vb - va) < 1e-12, 1e-12, vb - va
-            )
-            t = np.clip(t, 0.0, 1.0)[:, None]
             pa = corners_pos[:, 0, :] + tet_corner_pos[ea]
             pb = corners_pos[:, 0, :] + tet_corner_pos[eb]
-            verts[:, k, :] = pa + t * (pb - pa)
+            # Canonicalize endpoint order by global grid position so every
+            # tet sharing this edge computes a bit-identical vertex (else
+            # t vs 1-t float rounding can straddle a welding bin and leave
+            # hairline seams in the welded mesh).
+            key_a = (pa[:, 0] * Y + pa[:, 1]) * Z + pa[:, 2]
+            key_b = (pb[:, 0] * Y + pb[:, 1]) * Z + pb[:, 2]
+            swap = key_a > key_b
+            va2 = np.where(swap, vb, va)
+            vb2 = np.where(swap, va, vb)
+            pa2 = np.where(swap[:, None], pb, pa)
+            pb2 = np.where(swap[:, None], pa, pb)
+            t = (level - va2) / np.where(
+                np.abs(vb2 - va2) < 1e-12, 1e-12, vb2 - va2
+            )
+            t = np.clip(t, 0.0, 1.0)[:, None]
+            verts[:, k, :] = pa2 + t * (pb2 - pa2)
         all_tris.append(verts)
 
     soup = np.concatenate(all_tris, axis=0)             # [T, 3, 3]
