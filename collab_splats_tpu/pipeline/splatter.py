@@ -200,6 +200,18 @@ class Splatter:
             self._run_sfm(frames_dir, out, sfm_tool)
             return out
         if src.is_dir():
+            # 360 inputs (reference contract wrapper/splatter.py:257-268:
+            # paths containing "360" are treated as equirectangular and
+            # cropped into 14 perspective views per panorama before SfM).
+            if "360" in str(src):
+                from .equirect import crop_equirect_dir
+
+                crops = out / "images"
+                n = crop_equirect_dir(src, crops)
+                if n == 0:
+                    raise ValidationError(f"no panorama images in {src}")
+                self._run_sfm(crops, out, sfm_tool)
+                return out
             self._run_sfm(src, out, sfm_tool)
             return out
         raise ValidationError(f"Unsupported input: {src}")
@@ -226,19 +238,24 @@ class Splatter:
     def _run_sfm(images_dir: Path, out: Path, sfm_tool: str) -> None:
         """Drive external SfM (COLMAP) -> transforms.json.  The reference
         delegates to ``ns-process-data`` (splatter.py:298-311); here the
-        same subprocess contract, with a clear error when no SfM binary is
-        installed."""
-        if shutil.which("colmap") is None:
+        COLMAP pipeline is driven directly (pipeline/colmap.py: feature
+        extraction -> matching -> mapping -> transforms.json + sparse ply),
+        with a clear error when no SfM binary is installed."""
+        from . import colmap
+
+        if not colmap.colmap_available():
             raise ValidationError(
                 "COLMAP not found on PATH: SfM preprocessing needs an "
                 "external tool (same contract as the reference's "
                 "ns-process-data).  Provide a dataset directory containing "
                 "transforms.json to skip SfM."
             )
-        raise NotImplementedError(
-            "COLMAP driver not wired in this environment; provide "
-            "transforms.json directly."
-        )
+        # Video frames are temporally ordered -> sequential matching;
+        # arbitrary image sets -> exhaustive.
+        matcher = "sequential" if images_dir.name == "images" else "exhaustive"
+        if sfm_tool in ("exhaustive", "sequential"):
+            matcher = sfm_tool
+        colmap.run_colmap_sfm(images_dir, out, matcher=matcher)
 
     # ------------------------------------------------------------ training
     def train(

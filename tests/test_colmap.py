@@ -1,0 +1,151 @@
+"""COLMAP driver: text-model parsing + pose conversion (pipeline/colmap.py).
+
+COLMAP itself is not installed in CI, so these tests exercise the pure
+parts: parsing synthetic COLMAP TXT models, the nerfstudio-parity pose
+conversion (projective round trip through the dataparser), and the clear
+gating error when the binary is absent.  The subprocess pipeline itself is
+exercised end-to-end only where ``colmap`` exists (skip-guarded).
+"""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from collab_splats_tpu.pipeline import colmap as cm
+
+
+def _quat_from_R(R):
+    """Rotation matrix -> COLMAP (w, x, y, z)."""
+    from scipy.spatial.transform import Rotation
+
+    x, y, z, w = Rotation.from_matrix(R).as_quat()
+    return np.array([w, x, y, z])
+
+
+def _look_at_w2c(eye, target):
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, [0, 0, 1.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd])        # rows: OpenCV camera axes
+    t = -R @ eye
+    return R, t
+
+
+def _write_model(tmp: Path, n_cams=4):
+    lines_c = ["# cameras"]
+    lines_i = ["# images"]
+    poses = []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        eye = np.array([2 * np.cos(ang), 2 * np.sin(ang), 1.0])
+        R, t = _look_at_w2c(eye, np.zeros(3))
+        q = _quat_from_R(R)
+        poses.append((R, t))
+        lines_i.append(
+            f"{i + 1} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]} 1 "
+            f"frame_{i:05d}.png"
+        )
+        lines_i.append("")  # empty 2D-points line
+    lines_c.append("1 PINHOLE 640 480 500 510 320 240")
+    (tmp / "cameras.txt").write_text("\n".join(lines_c) + "\n")
+    (tmp / "images.txt").write_text("\n".join(lines_i) + "\n")
+    (tmp / "points3D.txt").write_text(
+        "# pts\n1 0.1 0.2 0.3 255 128 0 0.5 1 0\n2 -0.2 0.1 0.4 0 255 64 0.4 1 0\n"
+    )
+    return poses
+
+
+class TestParsers:
+    def test_cameras_models(self, tmp_path):
+        (tmp_path / "cameras.txt").write_text(
+            "1 SIMPLE_RADIAL 100 80 90 50 40 0.01\n"
+            "2 OPENCV 640 480 500 510 320 240 0.1 -0.05 0.001 0.002\n"
+        )
+        cams = cm.parse_cameras_txt(tmp_path / "cameras.txt")
+        assert cams[1]["fl_x"] == cams[1]["fl_y"] == 90
+        assert cams[1]["k1"] == 0.01
+        assert cams[2]["fl_y"] == 510 and cams[2]["p2"] == 0.002
+
+    def test_images_and_points(self, tmp_path):
+        _write_model(tmp_path)
+        ims = cm.parse_images_txt(tmp_path / "images.txt")
+        assert len(ims) == 4 and ims[0]["name"] == "frame_00000.png"
+        pts, cols = cm.parse_points3d_txt(tmp_path / "points3D.txt")
+        assert pts.shape == (2, 3) and cols.max() <= 1.0
+
+
+class TestPoseConversion:
+    def test_projective_round_trip(self, tmp_path):
+        """COLMAP w2c -> transforms.json -> dataparser Camera must project
+        world points identically (up to nerfstudio's fixed world permutation
+        P: x<->y, z->-z applied to the points)."""
+        from collab_splats_tpu.data.dataparser import parse_transforms_json
+
+        poses = _write_model(tmp_path)
+        meta = cm.write_transforms_json(tmp_path, "images", tmp_path / "transforms.json")
+        assert len(meta["frames"]) == 4
+
+        # nerfstudio world map P (from colmap_pose_to_nerfstudio).
+        P = np.array([[0, 1, 0], [1, 0, 0], [0, 0, -1.0]])
+        scene = parse_transforms_json(
+            tmp_path / "transforms.json", auto_scale=False,
+            orient_center=False, train_split_fraction=1.0,
+        )
+        X = np.array([0.3, -0.2, 0.5])
+        for (R, t), camera in zip(poses, scene.train_cameras):
+            x_cam = R @ X + t                       # original COLMAP camera
+            w2c = np.asarray(camera.viewmat())
+            x_cam2 = w2c[:3, :3] @ (P @ X) + w2c[:3, 3]
+            np.testing.assert_allclose(x_cam2, x_cam, atol=1e-5)
+
+    def test_qvec_identity(self):
+        np.testing.assert_allclose(
+            cm.qvec2rotmat(np.array([1.0, 0, 0, 0])), np.eye(3), atol=1e-12
+        )
+
+
+class TestGating:
+    def test_clear_error_without_binary(self, tmp_path, monkeypatch):
+        from collab_splats_tpu.pipeline.splatter import Splatter, ValidationError
+
+        monkeypatch.setattr(shutil, "which", lambda name: None)
+        with pytest.raises((ValidationError, Exception), match="COLMAP"):
+            Splatter._run_sfm(tmp_path, tmp_path, "colmap")
+
+
+@pytest.mark.skipif(not cm.colmap_available(), reason="colmap not installed")
+class TestEndToEnd:
+    def test_sfm_on_rendered_frames(self, tmp_path):
+        # Only runs where COLMAP exists: render an orbit of a synthetic
+        # scene to PNGs and reconstruct.
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.core.sh import sh0_to_rgb
+        from collab_splats_tpu.data.synthetic import (
+            orbit_cameras, random_gaussian_params,
+        )
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        imgs = tmp_path / "images"
+        imgs.mkdir()
+        p = random_gaussian_params(jax.random.PRNGKey(0), 3000, extent=0.8)
+        for i, cam in enumerate(orbit_cameras(12, radius=2.5, width=320,
+                                              height=240, focal=300.0)):
+            out, _ = render_tiled(
+                p["means"], p["quats"], jnp.exp(p["scales"]),
+                jax.nn.sigmoid(p["opacities"][:, 0]),
+                sh0_to_rgb(p["features_dc"]), cam, RenderOptions(),
+            )
+            arr = np.asarray(jnp.clip(out.color, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(imgs / f"frame_{i:05d}.png")
+        out_path = cm.run_colmap_sfm(imgs, tmp_path, matcher="exhaustive")
+        meta = json.loads(out_path.read_text())
+        assert len(meta["frames"]) >= 6
