@@ -45,6 +45,64 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, GAUSS_AXIS))
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (idempotent; no-op single-process).
+
+    Wraps ``jax.distributed.initialize``: on TPU pods the three arguments
+    are auto-detected from the environment; for CPU/GPU multi-process runs
+    (and the 2-process integration test) they are passed explicitly.
+    Returns the process index.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is None and num_processes is None:
+        # TPU-pod auto-detection path: only meaningful when the runtime
+        # reports a multi-process environment.
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # single-process environment
+    return jax.process_index()
+
+
+def make_hybrid_mesh(
+    n_data_per_host: Optional[int] = None,
+    n_gauss: int = 1,
+) -> Mesh:
+    """(data, gauss) mesh spanning hosts: the ``data`` axis is laid out
+    host-major so camera-gradient all-reduces hierarchically combine
+    intra-host segments over ICI before the (slow) DCN hops, while the
+    ``gauss`` axis — whose all-gather/reduce-scatter moves the large
+    projected tensors every step — stays strictly inside each host's ICI
+    domain.
+
+    With one process this degrades to :func:`make_mesh`.
+    """
+    n_hosts = jax.process_count()
+    local = jax.local_device_count()
+    if n_data_per_host is None:
+        n_data_per_host = local // n_gauss
+    assert n_data_per_host * n_gauss == local, (
+        f"per-host mesh {n_data_per_host}x{n_gauss} != {local} local devices"
+    )
+    if n_hosts == 1:
+        return make_mesh(n_data_per_host, n_gauss)
+    # Global device array ordered host-major (jax.devices() is ordered by
+    # process index), so rows of the data axis group by host.
+    devices = np.asarray(jax.devices()).reshape(
+        n_hosts * n_data_per_host, n_gauss
+    )
+    return Mesh(devices, (DATA_AXIS, GAUSS_AXIS))
+
+
 def gauss_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over the gauss axis (params, moments, stats)."""
     return NamedSharding(mesh, P(GAUSS_AXIS))
