@@ -1,0 +1,166 @@
+"""Tile-sharded rendering (parallel/tiles.py): routed all-to-all compositing.
+
+The strong check: the full-image maps produced by band-routed compositing on
+a (1, G) mesh must equal the plain single-device render — the routing is a
+pure layout change.  Plus the memory-scaling property the default all-gather
+path lacks: per-device composited buffers are O(send_cap * G), independent
+of the total Gaussian count, and gradients still flow to every shard.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from collab_splats_tpu.core.options import RenderOptions
+from collab_splats_tpu.core.projection import project_gaussians
+from collab_splats_tpu.core.sh import sh0_to_rgb
+from collab_splats_tpu.data.synthetic import orbit_cameras, random_gaussian_params
+from collab_splats_tpu.ops.rasterize import render_tiled
+from collab_splats_tpu.parallel import mesh as pmesh
+from collab_splats_tpu.parallel.tiles import render_tile_sharded
+
+
+def _setup(n=512, size=64):
+    p = random_gaussian_params(jax.random.PRNGKey(0), n, extent=0.8,
+                               scale_range=(0.01, 0.05))
+    cam = orbit_cameras(3, radius=2.5, width=size, height=size,
+                        focal=1.1 * size)[0]
+    opts = RenderOptions(tile_capacity=128, max_intersections=1 << 13,
+                         exact_binning=True)
+    m = p["means"]
+    q = p["quats"]
+    s = jnp.exp(p["scales"])
+    o = jax.nn.sigmoid(p["opacities"][:, 0])
+    c = sh0_to_rgb(p["features_dc"])
+    return m, q, s, o, c, cam, opts
+
+
+def _sharded_render(mesh, m, q, s, o, c, cam, opts, send_cap):
+    n_bands = mesh.shape["gauss"]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("gauss"),) * 5,
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(m, q, s, o, c):
+        viewmat = cam.viewmat()
+        proj = project_gaussians(
+            m, q, s, viewmat, cam.K, cam.width, cam.height,
+            eps2d=opts.eps2d, near_plane=opts.near_plane,
+            far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+        )
+        out, _ = render_tile_sharded(
+            proj, o, c, cam, opts, n_bands, send_cap
+        )
+        return out.color, out.depth, out.alpha, out.spilled
+
+    return jax.jit(run)(m, q, s, o, c)
+
+
+class TestTileSharded:
+    def test_matches_single_device_render(self):
+        m, q, s, o, c, cam, opts = _setup()
+        ref, _ = render_tiled(m, q, s, o, c, cam, opts)
+        mesh = pmesh.make_mesh(n_data=1, n_gauss=4,
+                               devices=jax.devices()[:4])
+        color, depth, alpha, spilled = _sharded_render(
+            mesh, m, q, s, o, c, cam, opts, send_cap=512
+        )
+        # No *routing* spill: total equals the reference's own per-tile
+        # binning spill (the bands see the identical tiles).
+        assert int(spilled) == int(ref.spilled)
+        np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_send_cap_spills_but_stays_finite(self):
+        m, q, s, o, c, cam, opts = _setup()
+        mesh = pmesh.make_mesh(n_data=1, n_gauss=4,
+                               devices=jax.devices()[:4])
+        color, depth, alpha, spilled = _sharded_render(
+            mesh, m, q, s, o, c, cam, opts, send_cap=8
+        )
+        assert int(spilled) > 0
+        assert np.isfinite(np.asarray(color)).all()
+
+    def test_gradients_flow_to_all_shards(self):
+        m, q, s, o, c, cam, opts = _setup(n=256)
+        mesh = pmesh.make_mesh(n_data=1, n_gauss=4,
+                               devices=jax.devices()[:4])
+        n_bands = 4
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P("gauss"),) * 5, out_specs=P(),
+            check_vma=False,
+        )
+        def loss(m, q, s, o, c):
+            viewmat = cam.viewmat()
+            proj = project_gaussians(
+                m, q, s, viewmat, cam.K, cam.width, cam.height,
+                eps2d=opts.eps2d, near_plane=opts.near_plane,
+                far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+            )
+            out, _ = render_tile_sharded(proj, o, c, cam, opts, n_bands, 256)
+            # Full image on every member: average the psum'd local value.
+            return jax.lax.psum(
+                jnp.sum(out.color) + jnp.sum(out.depth), "gauss"
+            ) / n_bands
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 4)))(m, q, s, o, c)
+        gm = np.asarray(g[0])
+        # Every shard of 64 rows must receive nonzero gradient.
+        for sh in range(4):
+            assert np.abs(gm[sh * 64:(sh + 1) * 64]).max() > 0
+
+        # Compare against the unsharded gradient.
+        def ref_loss(m, c):
+            out, _ = render_tiled(m, q, s, o, c, cam, opts)
+            return jnp.sum(out.color) + jnp.sum(out.depth)
+
+        g_ref = jax.grad(ref_loss, argnums=(0, 1))(m, c)
+        # f32 accumulation order differs through the routed path; the
+        # forward is bit-comparable but gradients tolerate ~1e-2 relative
+        # on isolated near-cancelling entries.
+        np.testing.assert_allclose(gm, np.asarray(g_ref[0]),
+                                   rtol=2e-2, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]),
+                                   rtol=2e-2, atol=1e-4)
+
+    def test_buffer_scaling_property(self):
+        """Per-device composited candidate set is G*S rows — independent of
+        the total Gaussian table size (the all-gather path's O(N))."""
+        from collab_splats_tpu.parallel.tiles import route_to_bands
+
+        m, q, s, o, c, cam, opts = _setup(n=1024)
+        mesh = pmesh.make_mesh(n_data=1, n_gauss=4,
+                               devices=jax.devices()[:4])
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P("gauss"),) * 2,
+            out_specs=P("gauss"), check_vma=False,
+        )
+        def routed_rows(m, sdummy):
+            viewmat = cam.viewmat()
+            proj = project_gaussians(
+                m, q[:256], jnp.exp(jnp.zeros((256, 3)) - 4.0), viewmat,
+                cam.K, cam.width, cam.height,
+            )
+            proj_b, extras_b, valid_b, _ = route_to_bands(
+                proj, jnp.zeros((256, 1)), cam.height, opts.tile_size, 4, 64
+            )
+            return proj_b.depth[None]
+
+        rows = routed_rows(m[:1024].reshape(1024, 3), jnp.zeros((4, 1)))
+        # 4 bands x send_cap 64 = 256 candidate rows per device, vs 1024
+        # total Gaussians.
+        assert rows.shape[-1] == 4 * 64 < 1024
