@@ -203,6 +203,13 @@ class FelzenszwalbLiteSegmenter:
                 "segmentation": seg,
                 "predicted_iou": 0.86 + 0.13 * min(compactness, 1.0),
                 "area": int(area),
+                # Same result schema as the SAM backend (XYWH bbox,
+                # full-image crop) so consumers never branch on backend.
+                "bbox": [int(xs.min()), int(ys.min()),
+                         int(xs.max() - xs.min()), int(ys.max() - ys.min())],
+                "stability_score": float(compactness),
+                "point_coords": [],
+                "crop_box": [0, 0, w, h],
             })
         results.sort(key=lambda r: -r["area"])
         return results
@@ -214,7 +221,20 @@ class Segmentation:
     ``composite`` -> merged id map."""
 
     def __init__(self, backend: Optional[object] = None):
-        self.backend = backend or FelzenszwalbLiteSegmenter()
+        if backend is None:
+            # Real SAM when converted weights exist (features/sam.py +
+            # sam_predictor.py — the MobileSAMv2 path of the reference);
+            # classical region segmenter otherwise.
+            from .sam_predictor import sam_available
+
+            if sam_available():
+                from .sam_predictor import SamBackend
+
+                sam = SamBackend()
+                backend = lambda image: sam.auto_segment(image)  # noqa: E731
+            else:
+                backend = FelzenszwalbLiteSegmenter()
+        self.backend = backend
 
     def auto_segment_image(self, image: np.ndarray) -> List[Dict]:
         return self.backend(image)
