@@ -155,12 +155,29 @@ def composite_chunk(alphas: jax.Array, tpix: jax.Array, values: jax.Array):
 
 
 def _composite_chunk_fwd(alphas, tpix, values):
-    w, t_excl, t_total = _weights_from_alphas(alphas)
+    one_minus = 1.0 - alphas
+    t_incl = jnp.cumprod(one_minus, axis=-1)
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )
+    w = alphas * t_excl
+    t_total = t_incl[..., -1]
     out_v = jnp.einsum("tpk,tkv->tpv", w, values)
     alpha_out = 1.0 - t_total
     depth_acc = jnp.sum(w * tpix, axis=-1)
-    idx = _median_index(w)
-    median = jnp.take_along_axis(tpix, idx[..., None], axis=-1)[..., 0]
+    # Median index without a second [T,P,K] scan: the accumulated weight
+    # sum telescopes (sum_{j<=k} w_j == 1 - t_incl_k), so the 0.5-crossing
+    # test reuses the transmittance cumprod.  t_incl is monotone
+    # non-increasing, hence "any crossing" == "last entry crossed".
+    crossed = t_incl <= 0.5
+    cross_idx = jnp.argmax(crossed, axis=-1)
+    fallback_idx = jnp.argmax(w, axis=-1)
+    idx = jnp.where(crossed[..., -1], cross_idx, fallback_idx)
+    # One-hot masked sum instead of take_along_axis: the [T,P] gather is
+    # latency-bound on TPU (~0.2 ms per chunk); the masked reduction fuses
+    # into the surrounding element-wise passes.
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, alphas.shape, alphas.ndim - 1)
+    median = jnp.sum(jnp.where(k_iota == idx[..., None], tpix, 0.0), axis=-1)
     median = jnp.where(alpha_out > 0.0, median, 0.0)
     res = (alphas, tpix, values, idx, t_excl, t_total)
     return (out_v, alpha_out, depth_acc, median), res
