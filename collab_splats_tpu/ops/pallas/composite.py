@@ -1,7 +1,10 @@
 """Pallas TPU kernel: per-tile depth-ordered alpha compositing.
 
-The speed-of-light path for the rasterizer's hot loop (SURVEY.md §7 layer
-2).  Works on *packed per-intersection* data laid out [D, M] (channels x
+An *optional* backend for the rasterizer's hot loop (SURVEY.md §7 layer
+2) — the XLA compositor (ops/rasterize.py) is the default and the faster
+path on hardware; see BASELINE.md "Pallas compositor: retirement
+decision" for the measured numbers and why the gap is structural.
+Works on *packed per-intersection* data laid out [D, M] (channels x
 intersections, sorted by (tile, depth) — built by ops/rasterize.py's
 binning + one XLA gather), so every tile's splats form a contiguous column
 range: the kernel DMAs contiguous [D, CHUNK] blocks — no scattered memory
@@ -140,7 +143,7 @@ def composite_fwd_kernel(
             dma_for(jnp.zeros((), jnp.int32)).start()
 
         def body(state):
-            (ci, log_t, accum, color, normal, depth_sum, median, crossed,
+            (ci, log_t, color, normal, depth_sum, median,
              wmax, t_wmax) = state
             # Prefetch the next chunk while computing this one.
             @pl.when(ci + 1 < n_chunks)
@@ -162,10 +165,18 @@ def composite_fwd_kernel(
             keep = valid & (alpha >= ALPHA_CUTOFF) & (sigma >= 0.0)
             alpha = jnp.where(keep, alpha, 0.0)
 
+            # Single scan per chunk: every other per-splat quantity
+            # telescopes off the inclusive transmittance.
+            #   t_after_k = exp(log_t + cum_k)   (T past splat k)
+            #   t_in_k    = t_after_k / (1-a_k)  (T entering splat k)
+            #   w_k       = a_k * t_in_k
+            #   accumulated opacity past k = 1 - t_after_k
             log1m = jnp.log1p(-alpha)                        # [P, CHUNK]
             cum = _cumsum_lanes(log1m)
-            log_t_in = log_t + cum - log1m
-            w = alpha * jnp.exp(log_t_in)                    # [P, CHUNK]
+            t_after = jnp.exp(log_t + cum)
+            inv1m = 1.0 / (1.0 - alpha)
+            t_in = t_after * inv1m
+            w = alpha * t_in                                 # [P, CHUNK]
 
             t_pix = b[5:6] + b[6:7] * du + b[7:8] * dv
             t_pix = jnp.maximum(t_pix, near_plane)
@@ -180,34 +191,34 @@ def composite_fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
             depth_sum = depth_sum + jnp.sum(w * t_pix, axis=1, keepdims=True)
-            # Max-weight splat's depth (the XLA path's median fallback).
+            # Max-weight splat's depth (the XLA path's median fallback);
+            # first occurrence via a lane-index min (no scan needed).
+            lane_p = jax.lax.broadcasted_iota(jnp.int32, (p, CHUNK), 1)
             w_chunk_max = jnp.max(w, axis=1, keepdims=True)
             is_new_max = w_chunk_max > wmax
-            arg_mask = (w == w_chunk_max) & (
-                _cumsum_lanes((w == w_chunk_max).astype(jnp.float32)) < 1.5
+            cand = w == w_chunk_max
+            first_lane = jnp.min(
+                jnp.where(cand, lane_p, CHUNK), axis=1, keepdims=True
             )
+            arg_mask = cand & (lane_p == first_lane)
             t_chunk_at_max = jnp.sum(
                 jnp.where(arg_mask, t_pix, 0.0), axis=1, keepdims=True
             )
             t_wmax = jnp.where(is_new_max, t_chunk_at_max, t_wmax)
             wmax = jnp.maximum(wmax, w_chunk_max)
 
-            # Median: first splat whose accumulated opacity crosses 0.5.
-            acc_in = accum + _cumsum_lanes(w)                # inclusive
-            hit = (acc_in >= 0.5) & (crossed < 0.5)
-            first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
+            # Median: first splat where accumulated opacity crosses 0.5,
+            # i.e. T drops through 0.5.  T is monotone non-increasing, so
+            # the crossing lane is unique and needs no cross-chunk carry:
+            # (t_after <= 0.5) & (t_in > 0.5).
+            first = (t_after <= 0.5) & (t_in > 0.5)
             median = median + jnp.sum(
                 jnp.where(first, t_pix, 0.0), axis=1, keepdims=True
             )
-            crossed = jnp.maximum(
-                crossed,
-                jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True),
-            )
 
-            accum = accum + jnp.sum(w, axis=1, keepdims=True)
             log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
-            return (ci + 1, log_t, accum, color, normal, depth_sum, median,
-                    crossed, wmax, t_wmax)
+            return (ci + 1, log_t, color, normal, depth_sum, median,
+                    wmax, t_wmax)
 
         def cond(state):
             ci = state[0]
@@ -218,16 +229,14 @@ def composite_fwd_kernel(
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((p, 1), jnp.float32),          # log transmittance
-            jnp.zeros((p, 1), jnp.float32),          # accumulated opacity
             jnp.zeros((p, n_color), jnp.float32),
             jnp.zeros((p, 3), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),          # median
-            jnp.zeros((p, 1), jnp.float32),          # crossed (0/1 as f32)
             jnp.zeros((p, 1), jnp.float32),          # max weight
             jnp.zeros((p, 1), jnp.float32),          # depth at max weight
         )
-        (ci, log_t, accum, color, normal, depth_sum, median, crossed,
+        (ci, log_t, color, normal, depth_sum, median,
          wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
 
         # An early exit can leave the prefetched chunk's DMA un-awaited.
@@ -236,7 +245,8 @@ def composite_fwd_kernel(
             dma_for(ci).wait()
 
         alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
-        median = jnp.where(crossed > 0.5, median, t_wmax)
+        crossed = jnp.exp(log_t) <= 0.5
+        median = jnp.where(crossed, median, t_wmax)
         median = jnp.where(alpha_out > 0.0, median, 0.0)
 
         out = jnp.concatenate(
@@ -263,7 +273,6 @@ def composite_bwd_kernel(
     buf_ref,               # [D, CHUNK] VMEM
     dbuf_ref,              # [D, CHUNK] VMEM
     logt_in_ref,           # [MAXC, P] VMEM  per-chunk entry log T
-    acc_in_ref,            # [MAXC, P] VMEM  per-chunk entry accum opacity
     gw_sum_ref,            # [MAXC, P] VMEM  per-chunk sum g_w * w
     sem,
     out_sem,
@@ -315,14 +324,15 @@ def composite_bwd_kernel(
 
     # ---- Phase 1: forward replay, store per-chunk entry states + g_w.w sums
     def p1_body(state):
-        ci, log_t, accum, wmax = state
+        ci, log_t, wmax = state
         load_chunk(ci)
         b = buf_ref[:]
         du, dv, _, _, alpha, keep, _, t_pix = splat_quantities(ci, b)
         log1m = jnp.log1p(-alpha)
         cum = _cumsum_lanes(log1m)
-        log_t_in = log_t + cum - log1m
-        w = alpha * jnp.exp(log_t_in)
+        # Same expression order as the forward kernel: the fallback-median
+        # test in phase 2 compares w against wmax_fin bit-exactly.
+        w = alpha * (jnp.exp(log_t + cum) * (1.0 / (1.0 - alpha)))
         g_w = (
             jax.lax.dot_general(
                 g_color, b[D_BASE : D_BASE + n_color, :],
@@ -336,24 +346,21 @@ def composite_bwd_kernel(
             + g_depth * t_pix
         )
         logt_in_ref[ci] = log_t[:, 0]
-        acc_in_ref[ci] = accum[:, 0]
         gw_sum_ref[ci] = jnp.sum(g_w * w, axis=1)
         wmax = jnp.maximum(wmax, jnp.max(w, axis=1, keepdims=True))
-        accum = accum + jnp.sum(w, axis=1, keepdims=True)
         log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
-        return ci + 1, log_t, accum, wmax
+        return ci + 1, log_t, wmax
 
     init1 = (
         jnp.zeros((), jnp.int32),
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
     )
-    _, log_t_fin, acc_fin, wmax_fin = jax.lax.while_loop(
+    _, log_t_fin, wmax_fin = jax.lax.while_loop(
         lambda s: s[0] < nc, p1_body, init1
     )
     t_final = jnp.exp(log_t_fin)                         # [P, 1]
-    crossed_ever = (acc_fin >= 0.5).astype(jnp.float32)
+    crossed_ever = (t_final <= 0.5).astype(jnp.float32)
 
     # ---- Phase 2: forward pass emitting per-chunk input gradients.
     def p2_body(state):
@@ -363,10 +370,10 @@ def composite_bwd_kernel(
         du, dv, sigma, raw, alpha, keep, t_raw, t_pix = splat_quantities(ci, b)
         log1m = jnp.log1p(-alpha)
         log_t_in_c = logt_in_ref[ci][:, None]
-        acc_in_c = acc_in_ref[ci][:, None]
         cum = _cumsum_lanes(log1m)
-        log_t_in = log_t_in_c + cum - log1m
-        t_in = jnp.exp(log_t_in)
+        inv_1ma_w = 1.0 / (1.0 - alpha)
+        t_after = jnp.exp(log_t_in_c + cum)
+        t_in = t_after * inv_1ma_w
         w = alpha * t_in
 
         g_w = (
@@ -394,22 +401,23 @@ def composite_bwd_kernel(
         )[:, None]                                        # [P, 1]
         suffix = within + s_after
 
-        inv_1ma = 1.0 / (1.0 - alpha)
-        d_alpha = g_w * t_in - suffix * inv_1ma + g_alpha * t_final * inv_1ma
+        d_alpha = (g_w * t_in - suffix * inv_1ma_w
+                   + g_alpha * t_final * inv_1ma_w)
         d_alpha = d_alpha * keep.astype(jnp.float32)
 
-        # Median routing: crossing splat, else max-weight splat.
-        acc_cum = acc_in_c + _cumsum_lanes(w)
-        crossed_in = acc_in_c >= 0.5
-        hit = (acc_cum >= 0.5) & jnp.logical_not(crossed_in)
-        first = hit & (_cumsum_lanes(hit.astype(jnp.float32)) < 1.5)
+        # Median routing: crossing splat, else max-weight splat.  Same
+        # telescoped crossing test as the forward kernel (bit-exact since
+        # log_t_in_c replays the forward carry).
+        first = (t_after <= 0.5) & (t_in > 0.5)
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, (p, CHUNK), 1)
         cand = (
             (w == wmax_fin) & (wmax_fin > 0.0)
             & (crossed_ever < 0.5) & (seen_fb < 0.5)
         )
-        first_cand = cand & (
-            _cumsum_lanes(cand.astype(jnp.float32)) < 1.5
+        first_cand_lane = jnp.min(
+            jnp.where(cand, lane_p, CHUNK), axis=1, keepdims=True
         )
+        first_cand = cand & (lane_p == first_cand_lane)
         seen_fb = jnp.maximum(
             seen_fb, jnp.max(cand.astype(jnp.float32), axis=1, keepdims=True)
         )
@@ -562,7 +570,6 @@ def composite_tiles_bwd_call(
         scratch_shapes=[
             pltpu.VMEM((d, CHUNK), jnp.float32),
             pltpu.VMEM((d, CHUNK), jnp.float32),
-            pltpu.VMEM((max_chunks, p), jnp.float32),
             pltpu.VMEM((max_chunks, p), jnp.float32),
             pltpu.VMEM((max_chunks, p), jnp.float32),
             pltpu.SemaphoreType.DMA,
