@@ -222,12 +222,27 @@ class Segmentation:
 
     def __init__(self, backend: Optional[object] = None):
         if backend is None:
-            # Real SAM when converted weights exist (features/sam.py +
-            # sam_predictor.py — the MobileSAMv2 path of the reference);
-            # classical region segmenter otherwise.
+            # Pick the best available stack, mirroring the reference's
+            # preference order (segmentation.py:126-236): YOLO box prompts
+            # + SAM when both converted checkpoints exist, point-grid SAM
+            # auto-masks with SAM alone, classical region segmentation
+            # otherwise.
             from .sam_predictor import sam_available
+            from .yolo import yolo_available
 
-            if sam_available():
+            if sam_available() and yolo_available():
+                from .sam_predictor import SamBackend
+                from .yolo import ObjectAwareDetector
+
+                sam = SamBackend()
+                det = ObjectAwareDetector()
+
+                def backend(image):  # the object_segment_image path
+                    boxes, confs = det(image)
+                    if len(boxes) == 0:
+                        return sam.auto_segment(image)
+                    return sam.segment_boxes(image, boxes, confs)
+            elif sam_available():
                 from .sam_predictor import SamBackend
 
                 sam = SamBackend()

@@ -236,25 +236,31 @@ class Splatter:
 
     @staticmethod
     def _run_sfm(images_dir: Path, out: Path, sfm_tool: str) -> None:
-        """Drive external SfM (COLMAP) -> transforms.json.  The reference
-        delegates to ``ns-process-data`` (splatter.py:298-311); here the
-        COLMAP pipeline is driven directly (pipeline/colmap.py: feature
-        extraction -> matching -> mapping -> transforms.json + sparse ply),
-        with a clear error when no SfM binary is installed."""
-        from . import colmap
+        """Drive external SfM -> transforms.json.  The reference delegates
+        to ``ns-process-data`` with ``sfm_tool`` hloc (its base.yaml
+        default) or colmap (splatter.py:298-311); here both tools are
+        driven directly (pipeline/hloc.py: SuperPoint+SuperGlue+pycolmap;
+        pipeline/colmap.py: feature extraction -> matching -> mapping ->
+        transforms.json + sparse ply), with a clear error when neither is
+        installed.  ``sfm_tool="hloc"`` falls back to COLMAP when the hloc
+        package is absent, since hloc needs hub-downloaded model weights."""
+        from . import colmap, hloc
 
-        if not colmap.colmap_available():
-            raise ValidationError(
-                "COLMAP not found on PATH: SfM preprocessing needs an "
-                "external tool (same contract as the reference's "
-                "ns-process-data).  Provide a dataset directory containing "
-                "transforms.json to skip SfM."
-            )
         # Video frames are temporally ordered -> sequential matching;
         # arbitrary image sets -> exhaustive.
         matcher = "sequential" if images_dir.name == "images" else "exhaustive"
         if sfm_tool in ("exhaustive", "sequential"):
             matcher = sfm_tool
+        if sfm_tool == "hloc" and hloc.hloc_available():
+            hloc.run_hloc_sfm(images_dir, out, matcher=matcher)
+            return
+        if not colmap.colmap_available():
+            raise ValidationError(
+                "No SfM tool available (hloc not importable, COLMAP not on "
+                "PATH): SfM preprocessing needs an external tool (same "
+                "contract as the reference's ns-process-data).  Provide a "
+                "dataset directory containing transforms.json to skip SfM."
+            )
         colmap.run_colmap_sfm(images_dir, out, matcher=matcher)
 
     # ------------------------------------------------------------ training

@@ -149,3 +149,24 @@ class TestEndToEnd:
         out_path = cm.run_colmap_sfm(imgs, tmp_path, matcher="exhaustive")
         meta = json.loads(out_path.read_text())
         assert len(meta["frames"]) >= 6
+
+
+class TestHloc:
+    """hloc sfm_tool contract (pipeline/hloc.py): gated on the package."""
+
+    def test_gate_and_error(self, tmp_path):
+        from collab_splats_tpu.pipeline import hloc
+
+        if hloc.hloc_available():
+            pytest.skip("hloc installed; gate test is for the absent case")
+        with pytest.raises(hloc.HlocError, match="hloc"):
+            hloc.run_hloc_sfm(tmp_path, tmp_path)
+
+    def test_hloc_tool_falls_back_to_colmap_error(self, tmp_path, monkeypatch):
+        # sfm_tool="hloc" without hloc AND without colmap -> the combined
+        # "no SfM tool" error, mentioning both options.
+        from collab_splats_tpu.pipeline.splatter import Splatter, ValidationError
+
+        monkeypatch.setattr(shutil, "which", lambda name: None)
+        with pytest.raises(ValidationError, match="hloc"):
+            Splatter._run_sfm(tmp_path, tmp_path, "hloc")
