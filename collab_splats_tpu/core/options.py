@@ -39,6 +39,20 @@ class RenderOptions:
     stop_threshold: float = 1e-4           # pallas early-exit (0 disables)
     pallas_interpret: bool = False         # interpreter mode (CPU tests)
 
+    # Backward-pass memory policy for the XLA compositor's chunk loop:
+    # True remats each chunk (recomputes alphas/depths in the backward,
+    # minimal memory); False stores the analytic-VJP residuals across the
+    # whole loop (~100 MB per 64-tile chunk at capacity 512 — trades HBM
+    # for skipping the forward replay).
+    remat_compositing: bool = True
+
+    # Remat the projection -> packed-per-gaussian chain: AD otherwise saves
+    # ~16 [N,1]-shaped projection intermediates as residuals, which XLA
+    # stages through scoped memory in 128x-padded T(1,128) layouts —
+    # profiled at ~150 ms/step at 1M gaussians vs ~5 ms to recompute the
+    # projection math inside the backward.
+    remat_projection: bool = True
+
     def __post_init__(self):
         if self.rasterize_mode not in ("classic", "antialiased"):
             raise ValueError(f"Unknown rasterize_mode: {self.rasterize_mode}")

@@ -34,6 +34,7 @@ from ..core.compositing import composite_chunk, splat_alpha
 from ..core.golden import RenderOutput
 from ..core.options import RenderOptions
 from ..core.projection import Projection, project_gaussians
+from .segsum import expand_rows
 from .tiles import TileBins, bin_gaussians
 
 
@@ -238,9 +239,43 @@ def render_tiled(
     else:
         normal_cam = proj.normal
 
+    per_gauss = None
+    if opts.remat_projection:
+        # Build the packed matrix inside a remat boundary so the backward
+        # recomputes the projection math instead of staging its ~16 saved
+        # [N, 1] intermediates (see RenderOptions.remat_projection).  The
+        # duplicate forward projection is CSE'd by XLA; the outer `proj`
+        # then only feeds non-differentiable binning and strategy stats,
+        # so cut its (dead) gradient path explicitly.
+        def _pack(means, quats, scales, opacities, colors, normals_world,
+                  viewmat):
+            pj = project_gaussians(
+                means, quats, scales, viewmat, camera.K,
+                camera.width, camera.height,
+                eps2d=opts.eps2d, near_plane=opts.near_plane,
+                far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+            )
+            op = opacities
+            if opts.rasterize_mode == "antialiased":
+                op = op * pj.compensation
+            if normals_world is not None:
+                nc = normals_world @ viewmat[:3, :3].T
+            else:
+                nc = pj.normal
+            return jnp.concatenate(
+                [pj.mean2d, pj.conic, pj.depth[:, None], pj.plane,
+                 op[:, None], nc, colors], axis=1,
+            )
+
+        per_gauss = jax.checkpoint(_pack)(
+            means, quats, scales, opacities, colors, normals_world, viewmat
+        )
+        proj = jax.tree.map(jax.lax.stop_gradient, proj)
+
     return render_from_projections(
         proj, opac, colors, normal_cam, camera, opts,
         absgrad_sink=absgrad_sink, tile_chunk=tile_chunk,
+        per_gauss=per_gauss,
     )
 
 
@@ -287,8 +322,15 @@ def render_from_projections(
     opts: RenderOptions = RenderOptions(),
     absgrad_sink: Optional[jax.Array] = None,
     tile_chunk: int = 64,
+    per_gauss: Optional[jax.Array] = None,
 ) -> tuple[RenderOutput, RenderMeta]:
     """Binning + compositing from already-projected Gaussians.
+
+    ``per_gauss`` optionally supplies the packed [N, 12+C] per-gaussian
+    matrix (columns: mean2d, conic, depth, plane, opac, normal, colors);
+    when given, ``proj``/``opac``/``normal_cam`` feed only the
+    (non-differentiable) binning — used by the remat-projection path in
+    :func:`render_tiled`.
 
     Split out of :func:`render_tiled` so the projection phase can run
     gaussian-sharded across a device mesh (each device projects its shard,
@@ -321,29 +363,59 @@ def render_from_projections(
     px_v = (jnp.arange(p, dtype=jnp.float32) // ts) + 0.5
     tile_ids = jnp.arange(t_pad, dtype=jnp.int32)
 
-    # One packed per-gaussian matrix so each chunk does a single *row*
+    # One packed per-gaussian matrix so the expansion is a single *row*
     # gather instead of seven 1-D gathers (1-D gathers are ~10x slower per
     # element on TPU — see the binning profile note in ops/tiles.py).
-    per_gauss = jnp.concatenate(
-        [
-            proj.mean2d,            # 0:2
-            proj.conic,             # 2:5
-            proj.depth[:, None],    # 5
-            proj.plane,             # 6:8
-            opac[:, None],          # 8
-            normal_cam,             # 9:12
-            colors,                 # 12:
-        ],
-        axis=1,
+    if per_gauss is None:
+        per_gauss = jnp.concatenate(
+            [
+                proj.mean2d,            # 0:2
+                proj.conic,             # 2:5
+                proj.depth[:, None],    # 5
+                proj.plane,             # 6:8
+                opac[:, None],          # 8
+                normal_cam,             # 9:12
+                colors,                 # 12:
+            ],
+            axis=1,
+        )
+    # Gather ONCE outside the chunk loop; chunks take contiguous slices.
+    # Profiled at 1M/720p: an in-loop per-chunk gather costs its 0.7 ms
+    # again in the remat backward, and its transpose is 57 separate
+    # [32k, 15]->[N, 15] scatter-adds (1.9 ms each — the single hottest
+    # op of the train step).  Hoisted, the remat re-gather disappears
+    # (g_full is a saved residual), the in-loop slice transposes are
+    # contiguous dynamic-update-slices, and the gather transpose is one
+    # batched scatter-add.
+    #
+    # Masked and padded slots all clip to the same few rows (ops/tiles.py
+    # clips the window to the segment end; tile padding is zeros), which
+    # makes that scatter-add collision-bound.  Their cotangents are exactly
+    # zero — every gradient chain is gated by the tile mask — so spread
+    # them uniformly over the table instead: forward outputs are unchanged
+    # (splat_alpha masks the lanes) and the backward scatter becomes
+    # collision-free.
+    flat_idx = tile_gauss.reshape(-1)
+    spread = jnp.arange(flat_idx.shape[0], dtype=jnp.int32) % jnp.int32(
+        per_gauss.shape[0]
+    )
+    flat_idx = jnp.where(tile_mask.reshape(-1), flat_idx, spread)
+    # expand_rows = table[idx] with a sorted-segment-sum backward: the
+    # plain gather's AD transpose is a [M, D] -> [N, D] scatter-add that
+    # profiled at 146 ms/step (half the train step); the segment-sum
+    # backward is ~12 ms of sort + row gathers + blocked cumsum.
+    g_full = expand_rows(per_gauss, flat_idx, per_gauss.shape[0]).reshape(
+        t_pad, k_cap, per_gauss.shape[1]
     )
 
-    @jax.checkpoint
     def chunk_body(start):
-        idx = jax.lax.dynamic_slice(tile_gauss, (start, 0), (tile_chunk, k_cap))
         msk = jax.lax.dynamic_slice(tile_mask, (start, 0), (tile_chunk, k_cap))
         tid = jax.lax.dynamic_slice(tile_ids, (start,), (tile_chunk,))
 
-        g = per_gauss[idx]                               # [TC, K, 12+C]
+        g = jax.lax.dynamic_slice(                       # [TC, K, 12+C]
+            g_full, (start, 0, 0),
+            (tile_chunk, k_cap, g_full.shape[2]),
+        )
         mean2d_g = g[..., 0:2]
         if sink is not None:
             mean2d_g = mean2d_g + jax.lax.dynamic_slice(
@@ -385,7 +457,8 @@ def render_from_projections(
         return color, alpha_out, depth_out, median, normal
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * tile_chunk
-    color, alpha, depth, median, normal = jax.lax.map(chunk_body, starts)
+    body = jax.checkpoint(chunk_body) if opts.remat_compositing else chunk_body
+    color, alpha, depth, median, normal = jax.lax.map(body, starts)
 
     def stitch(x):
         # [n_chunks, TC, P, ...] -> [H, W, ...]

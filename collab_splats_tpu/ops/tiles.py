@@ -92,6 +92,53 @@ def align_segments(
     return aligned_gid, aligned_starts, lens
 
 
+def windowed_gather(src: jax.Array, starts: jax.Array, k_cap: int,
+                    block: int = 8) -> jax.Array:
+    """Gather contiguous windows ``src[starts[t] : starts[t] + k_cap]`` for
+    every ``t`` — the tile-capacity window cut — without an element gather.
+
+    An element gather of the [T, K] window costs ~5-7 device cycles per
+    *row* regardless of width (profiled: 13 ms for 1.8M elements at
+    1M/720p).  Because each window is a contiguous range, a window can be
+    assembled from ``block``-wide rows of ``src`` instead: every output
+    block spans exactly two consecutive source rows (the in-row offset
+    ``starts[t] % block`` is constant per tile), so the gather shrinks to
+    ``2 * T * K/block`` rows, and the per-lane shift is ``block`` static
+    slices + integer selects on the VPU.  (A one-hot reduction formulation
+    was measured to be miscompiled on TPU: XLA rewrites the int32
+    select-sum as a bf16 MXU matmul, quantizing ids above 2**8 — so the
+    shift must stay select-only, with no reduction XLA can matmul-ify.)
+
+    Args:
+        src: [M] int32 values (gaussian ids: < 2**24).
+        starts: [T] window start offsets into ``src`` (any alignment).
+        k_cap: window length (multiple of ``block``).
+
+    Returns:
+        [T, k_cap] gathered values; lanes past the end of ``src`` read
+        padding zeros (callers mask with ``win < ends`` as before).
+    """
+    assert k_cap % block == 0
+    m = src.shape[0]
+    t = starts.shape[0]
+    j = k_cap // block
+    rows = -(-m // block) + (k_cap // block) + 1
+    src_w = jnp.pad(src, (0, rows * block - m)).reshape(rows, block)
+
+    off = (starts % block).astype(jnp.int32)                     # [T]
+    base_row = starts // block                                   # [T]
+    r0 = base_row[:, None] + jnp.arange(j, dtype=jnp.int32)[None, :]
+    r0 = jnp.clip(r0, 0, rows - 2)
+    pair = jnp.concatenate([src_w[r0], src_w[r0 + 1]], axis=-1)  # [T, J, 2B]
+    # Shift: out[t, j, w] = pair[t, j, off[t] + w].  One static slice per
+    # possible offset, merged with integer selects (exact; see docstring).
+    out = jax.lax.slice_in_dim(pair, 0, block, axis=2)           # [T, J, B]
+    for s in range(1, block):
+        shifted = jax.lax.slice_in_dim(pair, s, s + block, axis=2)
+        out = jnp.where(off[:, None, None] == s, shifted, out)
+    return out.reshape(t, k_cap)
+
+
 def tile_bbox(proj: Projection, num_tiles_x: int, num_tiles_y: int, tile_size: int):
     """Inclusive tile-coordinate bbox per Gaussian, clamped to the grid."""
     u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
@@ -215,8 +262,10 @@ def bin_gaussians(
 
     win = starts[:, None] + jnp.arange(k_cap, dtype=jnp.int32)[None, :]
     tile_mask = win < ends[:, None]
-    win = jnp.clip(win, 0, m_cap - 1)
-    tile_gauss = sorted_gid[win]
+    if k_cap % 8 == 0:
+        tile_gauss = windowed_gather(sorted_gid, starts, k_cap)
+    else:
+        tile_gauss = sorted_gid[jnp.clip(win, 0, m_cap - 1)]
 
     tile_spill = jnp.sum(jnp.maximum(ends - starts - k_cap, 0))
     return TileBins(

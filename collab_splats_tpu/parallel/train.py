@@ -205,9 +205,13 @@ def make_sharded_train_step(
         idx = meta.bins.tile_gauss.reshape(-1)
         msk = meta.bins.tile_mask.reshape(-1)
         g = jnp.where(msk[:, None], jnp.abs(sink_grad).reshape(-1, 2), 0.0)
-        sidx = jnp.where(msk, idx, capacity)
-        gu = jnp.zeros((capacity,), jnp.float32).at[sidx].add(g[:, 0], mode="drop")
-        gv = jnp.zeros((capacity,), jnp.float32).at[sidx].add(g[:, 1], mode="drop")
+        # Spread masked slots uniformly (their contribution is zeroed) so
+        # the scatter-add stays collision-free, and scatter both columns in
+        # one row scatter — see train/strategy.update_state.
+        spread = jnp.arange(idx.shape[0], dtype=jnp.int32) % jnp.int32(capacity)
+        sidx = jnp.where(msk, idx, spread)
+        guv = jnp.zeros((capacity, 2), jnp.float32).at[sidx].add(g, mode="drop")
+        gu, gv = guv[:, 0], guv[:, 1]
         scale = 0.5 * max(width, height)
         grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
         grad_ndc = jax.lax.psum(grad_ndc, DATA_AXIS)

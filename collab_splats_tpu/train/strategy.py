@@ -106,7 +106,12 @@ def update_state(
     mask = meta.bins.tile_mask.reshape(-1)
     g = jnp.abs(sink_grad).reshape(-1, 2)
     g = jnp.where(mask[:, None], g, 0.0)
-    idx = jnp.where(mask, idx, c)  # dropped
+    # Spread masked slots uniformly instead of funneling them to one
+    # dropped row: their contributions are zeroed above, and collision-free
+    # indices keep the scatter-add throughput-bound (see the matching note
+    # in ops/rasterize.py).
+    spread = jnp.arange(idx.shape[0], dtype=jnp.int32) % jnp.int32(c)
+    idx = jnp.where(mask, idx, spread)
     # One 2-column row scatter (1-D scatters cost ~10x more per element).
     guv = jnp.zeros((c, 2), jnp.float32).at[idx].add(g, mode="drop")
     scale = 0.5 * max(meta.width, meta.height)

@@ -1,0 +1,65 @@
+"""expand_rows (scatter-free gather backward) parity vs plain autodiff."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collab_splats_tpu.ops.segsum import expand_rows, inclusive_cumsum_blocked
+
+
+def test_cumsum_blocked_matches_plain():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1000, 7))
+    np.testing.assert_allclose(
+        inclusive_cumsum_blocked(x, block=64),
+        jnp.cumsum(x, axis=0),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("m,n,d", [(333, 50, 5), (4096, 1000, 15), (64, 200, 3)])
+def test_expand_rows_grad_matches_gather(m, n, d):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    table = jax.random.normal(k1, (n, d))
+    idx = jax.random.randint(k2, (m,), 0, n, dtype=jnp.int32)
+    ct_w = jax.random.normal(k3, (m, d))
+
+    def f_fast(t):
+        return jnp.sum(expand_rows(t, idx, n) * ct_w)
+
+    def f_ref(t):
+        return jnp.sum(t[idx] * ct_w)
+
+    out_fast = expand_rows(table, idx, n)
+    np.testing.assert_array_equal(out_fast, table[idx])
+
+    g_fast = jax.grad(f_fast)(table)
+    g_ref = jax.grad(f_ref)(table)
+    np.testing.assert_allclose(g_fast, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_expand_rows_grad_under_jit_and_vmap():
+    n, m, d = 100, 500, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    table = jax.random.normal(k1, (3, n, d))
+    idx = jax.random.randint(k2, (m,), 0, n, dtype=jnp.int32)
+
+    def loss(t):
+        return jnp.sum(expand_rows(t, idx, n) ** 2)
+
+    g = jax.jit(jax.vmap(jax.grad(loss)))(table)
+    g_ref = jax.vmap(jax.grad(lambda t: jnp.sum(t[idx] ** 2)))(table)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_expand_rows_empty_segments():
+    # Gaussians never referenced must get exactly zero gradient.
+    n, d = 50, 3
+    table = jnp.ones((n, d))
+    idx = jnp.array([3, 3, 7, 49], dtype=jnp.int32)
+    g = jax.grad(lambda t: jnp.sum(expand_rows(t, idx, n)))(table)
+    expected = np.zeros((n, d))
+    expected[3] = 2.0
+    expected[7] = 1.0
+    expected[49] = 1.0
+    np.testing.assert_allclose(g, expected, rtol=1e-6, atol=1e-6)
