@@ -30,6 +30,50 @@ ALPHA_CUTOFF = 1.0 / 255.0   # contributions below this are skipped
 ALPHA_MAX = 0.999            # per-splat alpha is clamped to this
 
 
+def cumsum_mxu(
+    x: jax.Array,
+    reverse: bool = False,
+    block: int = 128,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Inclusive cumsum along the last axis as blocked triangular matmuls.
+
+    XLA lowers ``cumsum``/``cumprod`` along a 512-long axis to a 128-wide
+    ``reduce-window`` that profiled at ~0.5 ms per 64-tile chunk (27 ms per
+    720p render loop) *and* forces a T(8,128)-transposed operand layout that
+    adds ~7 ms of copies.  A [B, B] triangular matmul does the same scan on
+    the MXU: with ``precision=HIGHEST`` (f32-accurate bf16x passes) the whole
+    loop's scans cost ~2 ms and the layout stays native.
+
+    Args:
+        x: [..., K] with K a multiple of ``block`` (or K < block).
+        reverse: suffix-style ``out_i = sum_{j>=i} x_j`` instead of prefix.
+
+    Returns:
+        [..., K] inclusive scan along the last axis.
+    """
+    k = x.shape[-1]
+    b = min(block, k)
+    if k % b:
+        # Odd trailing size (non-power-of-two tile_capacity): plain scan.
+        return jnp.cumsum(x[..., ::-1], axis=-1)[..., ::-1] if reverse \
+            else jnp.cumsum(x, axis=-1)
+    nb = k // b
+    iota = jnp.arange(b)
+    if reverse:
+        tri = (iota[:, None] <= iota[None, :]).astype(x.dtype)
+    else:
+        tri = (iota[:, None] >= iota[None, :]).astype(x.dtype)
+    xb = x.reshape(x.shape[:-1] + (nb, b))
+    inner = jnp.einsum("...j,ij->...i", xb, tri, precision=precision)
+    tot = jnp.sum(xb, axis=-1)                       # [..., nb]
+    if reverse:
+        pref = jnp.flip(jnp.cumsum(jnp.flip(tot, -1), -1), -1) - tot
+    else:
+        pref = jnp.cumsum(tot, axis=-1) - tot
+    return (inner + pref[..., None]).reshape(x.shape)
+
+
 class CompositeOutput(NamedTuple):
     color: jax.Array         # [..., C]
     alpha: jax.Array         # [...]
@@ -155,11 +199,16 @@ def composite_chunk(alphas: jax.Array, tpix: jax.Array, values: jax.Array):
 
 
 def _composite_chunk_fwd(alphas, tpix, values):
-    one_minus = 1.0 - alphas
-    t_incl = jnp.cumprod(one_minus, axis=-1)
-    t_excl = jnp.concatenate(
-        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
-    )
+    # Transmittance via exp(cumsum(log1p(-a))) with the cumsum as an MXU
+    # triangular matmul (see :func:`cumsum_mxu`): XLA's cumprod lowering is
+    # a 128-wide reduce-window costing ~27 ms per 720p render loop plus
+    # layout copies.  log1p/exp are one transcendental pass each — cheaper
+    # than the scan — and the exclusive scan falls out by subtracting the
+    # element (no shift/concat pass).  alphas <= 0.999 keeps log1p finite.
+    log1m = jnp.log1p(-alphas)
+    cum = cumsum_mxu(log1m)
+    t_incl = jnp.exp(cum)
+    t_excl = jnp.exp(cum - log1m)
     w = alphas * t_excl
     t_total = t_incl[..., -1]
     out_v = jnp.einsum("tpk,tkv->tpv", w, values)
@@ -191,8 +240,8 @@ def _composite_chunk_bwd(res, cot):
     # Per-(pixel, splat) value-cotangent r_k = values_k . g_v + g_depth*tpix_k.
     r = jnp.einsum("tpv,tkv->tpk", g_v, values) + g_depth[..., None] * tpix
     s = w * r
-    # Exclusive suffix sum: sum_{k>i} s_k.
-    suffix = jax.lax.cumsum(s, axis=s.ndim - 1, reverse=True) - s
+    # Exclusive suffix sum: sum_{k>i} s_k (MXU matmul, not a reduce-window).
+    suffix = cumsum_mxu(s, reverse=True) - s
     # alphas <= ALPHA_MAX = 0.999, so 1-a >= 1e-3; masked slots have a == 0.
     inv1m = 1.0 / jnp.maximum(1.0 - alphas, 1.0 - ALPHA_MAX)
     d_alphas = (

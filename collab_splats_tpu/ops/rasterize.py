@@ -382,28 +382,24 @@ def render_from_projections(
     # Gather ONCE outside the chunk loop; chunks take contiguous slices.
     # Profiled at 1M/720p: an in-loop per-chunk gather costs its 0.7 ms
     # again in the remat backward, and its transpose is 57 separate
-    # [32k, 15]->[N, 15] scatter-adds (1.9 ms each — the single hottest
-    # op of the train step).  Hoisted, the remat re-gather disappears
-    # (g_full is a saved residual), the in-loop slice transposes are
-    # contiguous dynamic-update-slices, and the gather transpose is one
-    # batched scatter-add.
+    # per-chunk reductions; hoisted, the remat re-gather disappears
+    # (g_full is a saved residual) and the in-loop slice transposes are
+    # contiguous dynamic-update-slices.
     #
     # Masked and padded slots all clip to the same few rows (ops/tiles.py
-    # clips the window to the segment end; tile padding is zeros), which
-    # makes that scatter-add collision-bound.  Their cotangents are exactly
-    # zero — every gradient chain is gated by the tile mask — so spread
-    # them uniformly over the table instead: forward outputs are unchanged
-    # (splat_alpha masks the lanes) and the backward scatter becomes
-    # collision-free.
+    # clips the window to the segment end; tile padding is zeros).  Their
+    # cotangents are exactly zero — every gradient chain is gated by the
+    # tile mask — so spreading them uniformly keeps every index in range
+    # without concentrating dead rows.  expand_rows = table[idx] with a
+    # sorted-segment-sum backward: a plain gather's AD transpose is a
+    # [1.8M, 15] -> [N, 15] scatter-add that profiled at 146 ms/step (half
+    # the train step); the segment-sum backward (payload sort + blocked
+    # cumsum + one monotone boundary gather) is ~3x cheaper.
     flat_idx = tile_gauss.reshape(-1)
     spread = jnp.arange(flat_idx.shape[0], dtype=jnp.int32) % jnp.int32(
         per_gauss.shape[0]
     )
     flat_idx = jnp.where(tile_mask.reshape(-1), flat_idx, spread)
-    # expand_rows = table[idx] with a sorted-segment-sum backward: the
-    # plain gather's AD transpose is a [M, D] -> [N, D] scatter-add that
-    # profiled at 146 ms/step (half the train step); the segment-sum
-    # backward is ~12 ms of sort + row gathers + blocked cumsum.
     g_full = expand_rows(per_gauss, flat_idx, per_gauss.shape[0]).reshape(
         t_pad, k_cap, per_gauss.shape[1]
     )
