@@ -344,7 +344,8 @@ def render_from_projections(
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     k_cap = bins.tile_gauss.shape[1]
-    c_dim = colors.shape[-1]
+    c_dim = (per_gauss.shape[1] - 12) if per_gauss is not None \
+        else colors.shape[-1]
 
     # Pad the tile axis to a multiple of the chunk size.
     tile_chunk = min(tile_chunk, num_tiles)

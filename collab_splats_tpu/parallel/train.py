@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.cameras import Camera
-from ..core.projection import project_gaussians
+from ..core.projection import Projection, project_gaussians
 from ..models import rade_gs
 from ..ops.rasterize import absgrad_sink_shape, render_from_projections
 from ..train import losses
@@ -138,27 +138,59 @@ def make_sharded_train_step(
         def loss_fn(p, snk):
             colors = rade_gs.compute_colors(p, camera, step_idx, cfg)
             opac = jax.nn.sigmoid(p["opacities"][:, 0]) * alive
-            proj = project_gaussians(
-                p["means"], p["quats"], jnp.exp(p["scales"]),
-                viewmat, camera.K, width, height,
-                eps2d=opts.eps2d, near_plane=opts.near_plane,
-                far_plane=opts.far_plane, radius_clip=opts.radius_clip,
-            )
-            if opts.rasterize_mode == "antialiased":
-                opac = opac * proj.compensation
 
-            # Gather the compact projected set over the gauss axis.
+            # Shard-local projection packed into ONE differentiable matrix
+            # (the same [*, 12+C] column layout render_from_projections
+            # builds) plus one small non-differentiable binning pack.  The
+            # exchange is then two all_gathers instead of ~11 per-field
+            # ones, and the backward is a single reduce_scatter on the
+            # packed matrix.  jax.checkpoint = the remat_projection policy
+            # of render_tiled: recompute the shard projection in the
+            # backward instead of staging its [*, 1] residuals.
+            def _pack(means, quats, scales, opac, colors):
+                pj = project_gaussians(
+                    means, quats, scales, viewmat, camera.K, width, height,
+                    eps2d=opts.eps2d, near_plane=opts.near_plane,
+                    far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+                )
+                op = opac
+                if opts.rasterize_mode == "antialiased":
+                    op = op * pj.compensation
+                per_gauss = jnp.concatenate(
+                    [pj.mean2d, pj.conic, pj.depth[:, None], pj.plane,
+                     op[:, None], pj.normal, colors], axis=1,
+                )
+                binpack = jnp.concatenate(
+                    [pj.mean2d, pj.depth[:, None], pj.radius[:, None],
+                     pj.valid[:, None].astype(jnp.float32)], axis=1,
+                )
+                return per_gauss, jax.lax.stop_gradient(binpack)
+
+            per_gauss, binpack = jax.checkpoint(_pack)(
+                p["means"], p["quats"], jnp.exp(p["scales"]), opac, colors
+            )
             gather = lambda x: jax.lax.all_gather(
                 x, GAUSS_AXIS, axis=0, tiled=True
             )
-            proj_full = jax.tree_util.tree_map(gather, proj)
-            opac_full = gather(opac)
-            colors_full = gather(colors)
-            normal_full = proj_full.normal
+            per_gauss_full = gather(per_gauss)
+            bp = gather(binpack)
+            # Minimal Projection view for binning + strategy statistics
+            # (bin_gaussians reads mean2d/depth/radius/valid only; conic/
+            # plane/normal ride inside per_gauss).
+            zeros2 = jnp.zeros((bp.shape[0], 2), jnp.float32)
+            proj_full = Projection(
+                mean2d=bp[:, 0:2], depth=bp[:, 2],
+                conic=jnp.zeros((bp.shape[0], 3), jnp.float32),
+                radius=bp[:, 3],
+                compensation=jnp.ones((bp.shape[0],), jnp.float32),
+                plane=zeros2,
+                normal=jnp.zeros((bp.shape[0], 3), jnp.float32),
+                valid=bp[:, 4] > 0.5,
+            )
 
             out, meta = render_from_projections(
-                proj_full, opac_full, colors_full, normal_full, camera, opts,
-                absgrad_sink=snk,
+                proj_full, None, None, None, camera, opts,
+                absgrad_sink=snk, per_gauss=per_gauss_full,
             )
             bg = rade_gs.background_color(cfg, bg_key, True)
             rgb = jnp.clip(
