@@ -144,28 +144,6 @@ def median_select(weights: jax.Array, depth_per_pixel: jax.Array) -> jax.Array:
     return jnp.take_along_axis(depth_per_pixel, idx[..., None], axis=-1)[..., 0]
 
 
-def _weights_from_alphas(alphas: jax.Array):
-    """(w, t_excl, t_total): compositing weights, exclusive transmittance,
-    and the post-list transmittance prod(1-a)."""
-    one_minus = 1.0 - alphas
-    t_incl = jnp.cumprod(one_minus, axis=-1)
-    t_excl = jnp.concatenate(
-        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
-    )
-    return alphas * t_excl, t_excl, t_incl[..., -1]
-
-
-def _median_index(weights: jax.Array) -> jax.Array:
-    """Index of the first splat whose accumulated weight crosses 0.5
-    (fallback: the max-weight splat).  Piecewise-constant — no gradient."""
-    accum = jnp.cumsum(weights, axis=-1)
-    crossed = accum >= 0.5
-    cross_idx = jnp.argmax(crossed, axis=-1)
-    has_cross = jnp.any(crossed, axis=-1)
-    fallback_idx = jnp.argmax(weights, axis=-1)
-    return jnp.where(has_cross, cross_idx, fallback_idx)
-
-
 @jax.custom_vjp
 def composite_chunk(alphas: jax.Array, tpix: jax.Array, values: jax.Array):
     """Fused compositing over one tile chunk with an **analytic backward**.
@@ -216,12 +194,15 @@ def _composite_chunk_fwd(alphas, tpix, values):
     depth_acc = jnp.sum(w * tpix, axis=-1)
     # Median index without a second [T,P,K] scan: the accumulated weight
     # sum telescopes (sum_{j<=k} w_j == 1 - t_incl_k), so the 0.5-crossing
-    # test reuses the transmittance cumprod.  t_incl is monotone
-    # non-increasing, hence "any crossing" == "last entry crossed".
-    crossed = t_incl <= 0.5
+    # test reuses the transmittance scan.  Restrict candidates to live
+    # slots (alpha > 0): with the blocked matmul scan, t_incl at a masked
+    # slot can differ from its predecessor by ~1 ulp, so an unguarded
+    # argmax could select a masked lane right at a block boundary and read
+    # its (meaningless) depth.
+    crossed = (t_incl <= 0.5) & (alphas > 0.0)
     cross_idx = jnp.argmax(crossed, axis=-1)
     fallback_idx = jnp.argmax(w, axis=-1)
-    idx = jnp.where(crossed[..., -1], cross_idx, fallback_idx)
+    idx = jnp.where(jnp.any(crossed, axis=-1), cross_idx, fallback_idx)
     # One-hot masked sum instead of take_along_axis: the [T,P] gather is
     # latency-bound on TPU (~0.2 ms per chunk); the masked reduction fuses
     # into the surrounding element-wise passes.

@@ -114,13 +114,25 @@ class SamBackend:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """[B, 2] single foreground points -> ([B, M, H, W] logits > 0,
         [B, M] iou, [B, M, H, W] raw logits)."""
+        low, iou = self.predict_points_low(points, multimask=multimask)
+        masks = S.postprocess_masks(
+            jnp.asarray(low), self._orig_hw, self._input_hw
+        )
+        return np.asarray(masks > 0.0), np.asarray(iou), np.asarray(masks)
+
+    def predict_points_low(
+        self, points: np.ndarray, multimask: bool = True
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Low-resolution variant: [B, 2] points -> ([B, M, 256, 256] raw
+        logits, [B, M] iou) with NO upscale — quality filtering happens at
+        this resolution (like SamAutomaticMaskGenerator), so survivors
+        alone pay the full-image resize."""
         assert self._embedding is not None, "call set_image first"
         pts = jnp.asarray(points, jnp.float32)[:, None, :] * self._scale
         labels = jnp.ones(pts.shape[:2], jnp.int32)
         sparse = S.encode_points(self.params, pts, labels)
         low, iou = self._decode(self._embedding, sparse, multimask=multimask)
-        masks = S.postprocess_masks(low, self._orig_hw, self._input_hw)
-        return np.asarray(masks > 0.0), np.asarray(iou), np.asarray(masks)
+        return np.asarray(low), np.asarray(iou)
 
     # ----------------------------------------------------------- reference
     def segment_boxes(self, image: np.ndarray, boxes_xyxy: np.ndarray,
@@ -171,31 +183,46 @@ class SamBackend:
         g = (np.arange(points_per_side) + 0.5) / points_per_side
         pts = np.stack(np.meshgrid(g * w, g * h), axis=-1).reshape(-1, 2)
 
-        cands: List[Dict] = []
+        # Filter on the 256x256 decoder logits (like the reference's
+        # SamAutomaticMaskGenerator: IoU + stability are computed pre-
+        # upscale) and resize only the survivors — upscaling all B*M masks
+        # to a 4K frame first costs multi-GB intermediates.
+        survivors: List[np.ndarray] = []
+        meta: List[Tuple[float, float, list]] = []
         for s0 in range(0, len(pts), 64):
-            masks, ious, logits = self.predict_points(pts[s0 : s0 + 64])
-            b, m = masks.shape[:2]
+            low, ious = self.predict_points_low(pts[s0 : s0 + 64])
+            b, m = low.shape[:2]
             for bi in range(b):
                 for mi in range(m):
                     iou = float(ious[bi, mi])
                     if iou < pred_iou_thresh:
                         continue
-                    lg = logits[bi, mi]
+                    lg = low[bi, mi]
                     inter = float((lg > stability_offset).sum())
                     union = float((lg > -stability_offset).sum())
                     stab = inter / max(union, 1.0)
                     if stab < stability_thresh:
                         continue
-                    mask = masks[bi, mi]
-                    area = int(mask.sum())
-                    if area < min_area:
-                        continue
-                    cands.append({
-                        "segmentation": mask, "area": area,
-                        "predicted_iou": iou, "stability_score": stab,
-                        "point_coords": [pts[s0 + bi].tolist()],
-                        "crop_box": [0, 0, w, h],
-                    })
+                    survivors.append(lg)
+                    meta.append((iou, stab, [pts[s0 + bi].tolist()]))
+
+        cands: List[Dict] = []
+        for s0 in range(0, len(survivors), 32):
+            batch = jnp.asarray(np.stack(survivors[s0 : s0 + 32]))[:, None]
+            masks = np.asarray(
+                S.postprocess_masks(batch, self._orig_hw, self._input_hw)
+                > 0.0
+            )[:, 0]
+            for mask, (iou, stab, pc) in zip(masks, meta[s0 : s0 + 32]):
+                area = int(mask.sum())
+                if area < min_area:
+                    continue
+                cands.append({
+                    "segmentation": mask, "area": area,
+                    "predicted_iou": iou, "stability_score": stab,
+                    "point_coords": pc,
+                    "crop_box": [0, 0, w, h],
+                })
         # Greedy NMS on masks by predicted IoU.
         cands.sort(key=lambda r: -r["predicted_iou"])
         kept: List[Dict] = []

@@ -50,6 +50,7 @@ from ...core.compositing import ALPHA_CUTOFF, ALPHA_MAX
 
 D_BASE = 12
 CHUNK = 128
+LOG_HALF = -0.6931471805599453   # log(0.5); median crossing threshold
 
 
 
@@ -144,7 +145,7 @@ def composite_fwd_kernel(
 
         def body(state):
             (ci, log_t, color, normal, depth_sum, median,
-             wmax, t_wmax) = state
+             wmax, t_wmax, found) = state
             # Prefetch the next chunk while computing this one.
             @pl.when(ci + 1 < n_chunks)
             def _():
@@ -207,18 +208,30 @@ def composite_fwd_kernel(
             t_wmax = jnp.where(is_new_max, t_chunk_at_max, t_wmax)
             wmax = jnp.maximum(wmax, w_chunk_max)
 
-            # Median: first splat where accumulated opacity crosses 0.5,
-            # i.e. T drops through 0.5.  T is monotone non-increasing, so
-            # the crossing lane is unique and needs no cross-chunk carry:
-            # (t_after <= 0.5) & (t_in > 0.5).
-            first = (t_after <= 0.5) & (t_in > 0.5)
+            # Median: first *live* splat where accumulated opacity crosses
+            # 0.5 (T drops through 0.5).  The crossing test must not
+            # compare values from two rounding paths (t_after of lane k vs
+            # t_in of lane k+1 are computed through different chains and
+            # can straddle 0.5 in a 1-ulp gap, double-counting or missing
+            # the crossing) — so carry an explicit found flag (f32: i1
+            # carries fail scf legalization) and take the first fired live
+            # lane per chunk, gated on not-yet-found.
+            fired = ((log_t + cum) <= LOG_HALF) & keep
+            first_med = jnp.min(
+                jnp.where(fired, lane_p, CHUNK), axis=1, keepdims=True
+            )
+            take = fired & (lane_p == first_med) & (found < 0.5)
             median = median + jnp.sum(
-                jnp.where(first, t_pix, 0.0), axis=1, keepdims=True
+                jnp.where(take, t_pix, 0.0), axis=1, keepdims=True
+            )
+            found = jnp.maximum(
+                found, jnp.max(fired.astype(jnp.float32), axis=1,
+                               keepdims=True)
             )
 
             log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
             return (ci + 1, log_t, color, normal, depth_sum, median,
-                    wmax, t_wmax)
+                    wmax, t_wmax, found)
 
         def cond(state):
             ci = state[0]
@@ -235,9 +248,10 @@ def composite_fwd_kernel(
             jnp.zeros((p, 1), jnp.float32),          # median
             jnp.zeros((p, 1), jnp.float32),          # max weight
             jnp.zeros((p, 1), jnp.float32),          # depth at max weight
+            jnp.zeros((p, 1), jnp.float32),          # median-found flag
         )
         (ci, log_t, color, normal, depth_sum, median,
-         wmax, t_wmax) = jax.lax.while_loop(cond, body, init)
+         wmax, t_wmax, found) = jax.lax.while_loop(cond, body, init)
 
         # An early exit can leave the prefetched chunk's DMA un-awaited.
         @pl.when(ci < n_chunks)
@@ -245,8 +259,7 @@ def composite_fwd_kernel(
             dma_for(ci).wait()
 
         alpha_out = 1.0 - jnp.exp(log_t)  # Mosaic has no expm1
-        crossed = jnp.exp(log_t) <= 0.5
-        median = jnp.where(crossed, median, t_wmax)
+        median = jnp.where(found > 0.5, median, t_wmax)
         median = jnp.where(alpha_out > 0.0, median, 0.0)
 
         out = jnp.concatenate(

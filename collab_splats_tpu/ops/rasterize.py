@@ -34,8 +34,42 @@ from ..core.compositing import composite_chunk, splat_alpha
 from ..core.golden import RenderOutput
 from ..core.options import RenderOptions
 from ..core.projection import Projection, project_gaussians
-from .segsum import expand_rows
+from .segsum import expand_rows, spread_masked
 from .tiles import TileBins, bin_gaussians
+
+
+# Packed per-gaussian column layout, shared by every compositing path
+# (single-chip render_tiled, the sharded step's all-gathered exchange, and
+# the Pallas intersection pack).  Change it here and nowhere else.
+PG_MEAN2D = slice(0, 2)
+PG_CONIC = slice(2, 5)
+PG_DEPTH = 5
+PG_PLANE = slice(6, 8)
+PG_OPAC = 8
+PG_NORMAL = slice(9, 12)
+PG_COLORS = slice(12, None)
+PG_FIXED = 12   # columns before the C color/feature channels
+
+
+def pack_per_gauss(
+    proj: Projection,
+    opac: jax.Array,
+    normal_cam: jax.Array,
+    colors: jax.Array,
+) -> jax.Array:
+    """[N, 12+C] packed per-gaussian matrix in the PG_* column layout."""
+    return jnp.concatenate(
+        [
+            proj.mean2d,                       # PG_MEAN2D
+            proj.conic,                        # PG_CONIC
+            proj.depth[:, None],               # PG_DEPTH
+            proj.plane,                        # PG_PLANE
+            opac[:, None],                     # PG_OPAC
+            normal_cam,                        # PG_NORMAL
+            colors,                            # PG_COLORS
+        ],
+        axis=1,
+    )
 
 
 def pack_intersections(
@@ -52,18 +86,7 @@ def pack_intersections(
     per-Gaussian scatter-add that routes pixel gradients back from
     intersections to Gaussians.
     """
-    per_gauss = jnp.concatenate(
-        [
-            proj.mean2d,                       # 0:2
-            proj.conic,                        # 2:5
-            proj.depth[:, None],               # 5
-            proj.plane,                        # 6:8
-            opac[:, None],                     # 8
-            normal_cam,                        # 9:12
-            colors,                            # 12:
-        ],
-        axis=1,
-    )
+    per_gauss = pack_per_gauss(proj, opac, normal_cam, colors)
     # Mosaic DMA slices must be sublane-aligned: pad channels to 8.
     d = per_gauss.shape[1]
     pad = (-d) % 8
@@ -262,10 +285,7 @@ def render_tiled(
                 nc = normals_world @ viewmat[:3, :3].T
             else:
                 nc = pj.normal
-            return jnp.concatenate(
-                [pj.mean2d, pj.conic, pj.depth[:, None], pj.plane,
-                 op[:, None], nc, colors], axis=1,
-            )
+            return pack_per_gauss(pj, op, nc, colors)
 
         per_gauss = jax.checkpoint(_pack)(
             means, quats, scales, opacities, colors, normals_world, viewmat
@@ -291,26 +311,24 @@ def render_tiled_batch(
     """Render a *batch* of cameras in one jitted program.
 
     ``cameras`` is a stacked :class:`Camera` (K [B,3,3], c2w [B,4,4], shared
-    static width/height).  vmap over the camera axis — binning, sort and
-    compositing all batch; XLA shares the per-Gaussian work where it can.
+    static width/height).  Cameras run sequentially under ``lax.map`` —
+    one 720p camera already saturates a chip, and the hoisted per-camera
+    intersection expansion (``g_full``, ~110 MB at 1M gaussians / 512
+    capacity) would scale with B under vmap and OOM eval-all sweeps.
     The single-camera-per-step training contract of the reference
     (rade_gs_model.py:95) doesn't apply here: batched rendering serves
     eval-all sweeps, TSDF fusion, and single-host camera parallelism.
     """
-    single = Camera(
-        K=cameras.K[0], c2w=cameras.c2w[0],
-        width=cameras.width, height=cameras.height,
-    )
 
-    def one(K, c2w):
+    def one(kc):
+        K, c2w = kc
         cam = Camera(K=K, c2w=c2w, width=cameras.width,
                      height=cameras.height)
         out, _ = render_tiled(means, quats, scales, opacities, colors, cam,
                               opts)
         return out
 
-    del single
-    return jax.vmap(one)(cameras.K, cameras.c2w)
+    return jax.lax.map(one, (cameras.K, cameras.c2w))
 
 
 def render_from_projections(
@@ -344,7 +362,7 @@ def render_from_projections(
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
     k_cap = bins.tile_gauss.shape[1]
-    c_dim = (per_gauss.shape[1] - 12) if per_gauss is not None \
+    c_dim = (per_gauss.shape[1] - PG_FIXED) if per_gauss is not None \
         else colors.shape[-1]
 
     # Pad the tile axis to a multiple of the chunk size.
@@ -368,18 +386,7 @@ def render_from_projections(
     # gather instead of seven 1-D gathers (1-D gathers are ~10x slower per
     # element on TPU — see the binning profile note in ops/tiles.py).
     if per_gauss is None:
-        per_gauss = jnp.concatenate(
-            [
-                proj.mean2d,            # 0:2
-                proj.conic,             # 2:5
-                proj.depth[:, None],    # 5
-                proj.plane,             # 6:8
-                opac[:, None],          # 8
-                normal_cam,             # 9:12
-                colors,                 # 12:
-            ],
-            axis=1,
-        )
+        per_gauss = pack_per_gauss(proj, opac, normal_cam, colors)
     # Gather ONCE outside the chunk loop; chunks take contiguous slices.
     # Profiled at 1M/720p: an in-loop per-chunk gather costs its 0.7 ms
     # again in the remat backward, and its transpose is 57 separate
@@ -396,11 +403,9 @@ def render_from_projections(
     # [1.8M, 15] -> [N, 15] scatter-add that profiled at 146 ms/step (half
     # the train step); the segment-sum backward (payload sort + blocked
     # cumsum + one monotone boundary gather) is ~3x cheaper.
-    flat_idx = tile_gauss.reshape(-1)
-    spread = jnp.arange(flat_idx.shape[0], dtype=jnp.int32) % jnp.int32(
-        per_gauss.shape[0]
+    flat_idx = spread_masked(
+        tile_gauss.reshape(-1), tile_mask.reshape(-1), per_gauss.shape[0]
     )
-    flat_idx = jnp.where(tile_mask.reshape(-1), flat_idx, spread)
     g_full = expand_rows(per_gauss, flat_idx, per_gauss.shape[0]).reshape(
         t_pad, k_cap, per_gauss.shape[1]
     )
@@ -413,17 +418,17 @@ def render_from_projections(
             g_full, (start, 0, 0),
             (tile_chunk, k_cap, g_full.shape[2]),
         )
-        mean2d_g = g[..., 0:2]
+        mean2d_g = g[..., PG_MEAN2D]
         if sink is not None:
             mean2d_g = mean2d_g + jax.lax.dynamic_slice(
                 sink, (start, 0, 0), (tile_chunk, k_cap, 2)
             )
-        conic_g = g[..., 2:5]
-        depth_g = g[..., 5]
-        plane_g = g[..., 6:8]
-        opac_g = g[..., 8]
-        normal_g = g[..., 9:12]
-        colors_g = g[..., 12:]
+        conic_g = g[..., PG_CONIC]
+        depth_g = g[..., PG_DEPTH]
+        plane_g = g[..., PG_PLANE]
+        opac_g = g[..., PG_OPAC]
+        normal_g = g[..., PG_NORMAL]
+        colors_g = g[..., PG_COLORS]
 
         txc = (tid % ntx).astype(jnp.float32)
         tyc = (tid // ntx).astype(jnp.float32)

@@ -39,6 +39,18 @@ import jax
 import jax.numpy as jnp
 
 
+def spread_masked(idx: jax.Array, mask: jax.Array, n: int) -> jax.Array:
+    """Replace masked entries of ``idx`` with a uniform spread over [0, n).
+
+    Keeps every index in range for gathers/scatters and avoids funneling
+    all dead slots onto one row (which makes a scatter-add collision-bound
+    and a sorted reduction lopsided).  Precondition: the caller zeroes the
+    masked rows' contributions, so *where* they land never affects results.
+    """
+    spread = jnp.arange(idx.shape[0], dtype=jnp.int32) % jnp.int32(n)
+    return jnp.where(mask, idx, spread)
+
+
 def inclusive_cumsum_blocked(x: jax.Array, block: int = 512) -> jax.Array:
     """Inclusive cumsum of ``x`` [M, D] along axis 0, computed as
     per-block cumsums plus a prefix of block totals (two short scans

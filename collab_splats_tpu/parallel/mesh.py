@@ -63,7 +63,15 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    elif coordinator_address is None and num_processes is None:
+    elif coordinator_address is not None:
+        # An explicit coordinator with num_processes missing/1 is a caller
+        # error; silently proceeding would run N independent single-process
+        # jobs that all think they are "the" job.
+        raise ValueError(
+            "coordinator_address given but num_processes is "
+            f"{num_processes!r}; pass num_processes>1 and process_id"
+        )
+    elif num_processes is None:
         # TPU-pod auto-detection path: only meaningful when the runtime
         # reports a multi-process environment.
         try:

@@ -81,11 +81,14 @@ def route_to_bands(
     b0 = jnp.clip(jnp.floor((v - r) / band_px), 0, n_bands - 1).astype(jnp.int32)
     b1 = jnp.clip(jnp.floor((v + r) / band_px), 0, n_bands - 1).astype(jnp.int32)
 
-    # Pack one [D]-row per gaussian once; slab scatter per band.
+    # Pack one [D]-row per gaussian once; slab scatter per band.  Normals
+    # are NOT shipped here — callers put whatever normal they composite
+    # into ``extras`` (render_tile_sharded does), so shipping proj.normal
+    # too would duplicate 3 f32 channels per routed gaussian on the wire.
     flat = jnp.concatenate(
         [
             proj.mean2d, proj.depth[:, None], proj.conic, proj.radius[:, None],
-            proj.compensation[:, None], proj.plane, proj.normal,
+            proj.compensation[:, None], proj.plane,
             extras,
         ],
         axis=1,
@@ -110,17 +113,22 @@ def route_to_bands(
         slot_gid = jnp.pad(slot_gid, ((0, 0), (0, pad)))
         slot_valid = jnp.pad(slot_valid, ((0, 0), (0, pad)))
     send = flat[slot_gid.reshape(-1)].reshape(n_bands, send_cap, d)
+    # Validity rides as one extra channel of the SAME slab: a second
+    # all_to_all per step just for one bit doubles the collective launch
+    # cost on the hot path.
+    send = jnp.concatenate(
+        [send,
+         jax.lax.stop_gradient(slot_valid.astype(jnp.float32))[..., None]],
+        axis=-1,
+    )
     spilled = jnp.sum(member.astype(jnp.int32)) - jnp.sum(
         slot_valid.astype(jnp.int32)
     )
 
     recv = jax.lax.all_to_all(
         send, GAUSS_AXIS, split_axis=0, concat_axis=0, tiled=True
-    ).reshape(n_bands * send_cap, d)                    # [G*S, D]
-    valid_recv = jax.lax.all_to_all(
-        slot_valid.astype(jnp.float32)[..., None], GAUSS_AXIS,
-        split_axis=0, concat_axis=0, tiled=True,
-    ).reshape(n_bands * send_cap) > 0.5
+    ).reshape(n_bands * send_cap, d + 1)                # [G*S, D+1]
+    valid_recv = recv[:, d] > 0.5
     spilled = jax.lax.psum(spilled, GAUSS_AXIS)
 
     my_band = jax.lax.axis_index(GAUSS_AXIS)
@@ -133,10 +141,10 @@ def route_to_bands(
         radius=recv[:, 6],
         compensation=recv[:, 7],
         plane=recv[:, 8:10],
-        normal=recv[:, 10:13],
+        normal=jnp.zeros((recv.shape[0], 3), recv.dtype),
         valid=valid_recv,
     )
-    extras_recv = recv[:, 13:]
+    extras_recv = recv[:, 10:d]
     return proj_recv, extras_recv, valid_recv, spilled
 
 

@@ -31,7 +31,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.cameras import Camera
 from ..core.projection import Projection, project_gaussians
 from ..models import rade_gs
-from ..ops.rasterize import absgrad_sink_shape, render_from_projections
+from ..ops.rasterize import (
+    absgrad_sink_shape,
+    pack_per_gauss,
+    render_from_projections,
+)
+from ..ops.segsum import spread_masked
 from ..train import losses
 from ..train.strategy import StrategyState
 from .mesh import DATA_AXIS, GAUSS_AXIS
@@ -156,10 +161,7 @@ def make_sharded_train_step(
                 op = opac
                 if opts.rasterize_mode == "antialiased":
                     op = op * pj.compensation
-                per_gauss = jnp.concatenate(
-                    [pj.mean2d, pj.conic, pj.depth[:, None], pj.plane,
-                     op[:, None], pj.normal, colors], axis=1,
-                )
+                per_gauss = pack_per_gauss(pj, op, pj.normal, colors)
                 binpack = jnp.concatenate(
                     [pj.mean2d, pj.depth[:, None], pj.radius[:, None],
                      pj.valid[:, None].astype(jnp.float32)], axis=1,
@@ -237,11 +239,9 @@ def make_sharded_train_step(
         idx = meta.bins.tile_gauss.reshape(-1)
         msk = meta.bins.tile_mask.reshape(-1)
         g = jnp.where(msk[:, None], jnp.abs(sink_grad).reshape(-1, 2), 0.0)
-        # Spread masked slots uniformly (their contribution is zeroed) so
-        # the scatter-add stays collision-free, and scatter both columns in
-        # one row scatter — see train/strategy.update_state.
-        spread = jnp.arange(idx.shape[0], dtype=jnp.int32) % jnp.int32(capacity)
-        sidx = jnp.where(msk, idx, spread)
+        # Collision-free scatter indices (masked contributions zeroed) and
+        # both columns in one row scatter — see ops/segsum.spread_masked.
+        sidx = spread_masked(idx, msk, capacity)
         guv = jnp.zeros((capacity, 2), jnp.float32).at[sidx].add(g, mode="drop")
         gu, gv = guv[:, 0], guv[:, 1]
         scale = 0.5 * max(width, height)

@@ -179,6 +179,7 @@ def run_colmap_sfm(
     matcher: str = "exhaustive",
     camera_model: str = "OPENCV",
     single_camera: bool = True,
+    undistort: bool = True,
 ) -> Path:
     """Full SfM pipeline; returns the path of the written transforms.json.
 
@@ -186,6 +187,11 @@ def run_colmap_sfm(
         images_dir: directory of input frames.
         out_dir: dataset root; transforms.json + colmap/ land here.
         matcher: "exhaustive" (image sets) or "sequential" (video frames).
+        undistort: rectify images to a pinhole model with COLMAP's
+            image_undistorter after mapping (the reference's
+            ns-process-data does the same) — the dataparser is pinhole-
+            only, so training directly on OPENCV-distorted frames would
+            bake multi-pixel reprojection error into the splats.
     """
     if not colmap_available():
         raise ColmapError("colmap binary not found on PATH")
@@ -222,6 +228,17 @@ def run_colmap_sfm(
     model0 = sparse / "0"
     if not model0.exists():
         raise ColmapError("COLMAP mapper produced no model")
+    if undistort:
+        und = out_dir / "undistorted"
+        _run([
+            "colmap", "image_undistorter",
+            "--image_path", str(images_dir),
+            "--input_path", str(model0),
+            "--output_path", str(und),
+            "--output_type", "COLMAP",
+        ])
+        model0 = und / "sparse"
+        images_dir = und / "images"
     txt = colmap_dir / "txt"
     txt.mkdir(exist_ok=True)
     _run([
@@ -234,7 +251,7 @@ def run_colmap_sfm(
     ply_rel = None
     pts, cols = parse_points3d_txt(txt / "points3D.txt")
     if len(pts):
-        from ..utils.pointcloud import write_ply
+        from ..data.ply import write_ply
 
         write_ply(str(out_dir / "sparse_points.ply"), pts, colors=cols)
         ply_rel = "sparse_points.ply"

@@ -109,11 +109,15 @@ def _model_to_transforms(model, images_dir: Path, out_dir: Path) -> Path:
     ply_rel: Optional[str] = None
     pts, cols = parse_points3d_txt(txt / "points3D.txt")
     if len(pts):
-        from ..utils.pointcloud import write_ply
+        from ..data.ply import write_ply
 
         write_ply(str(out_dir / "sparse_points.ply"), pts, colors=cols)
         ply_rel = "sparse_points.ply"
 
+    # Same relative/absolute fallback as the COLMAP driver: a bare
+    # directory *name* only resolves when images_dir sits inside out_dir.
+    images_rel = str(images_dir.relative_to(out_dir)) \
+        if images_dir.is_relative_to(out_dir) else str(images_dir)
     out_path = out_dir / "transforms.json"
-    write_transforms_json(txt, images_dir.name, out_path, ply_rel=ply_rel)
+    write_transforms_json(txt, images_rel, out_path, ply_rel=ply_rel)
     return out_path

@@ -197,7 +197,7 @@ class Splatter:
                  str(frames_dir / "frame_%05d.png")],
                 check=True, timeout=DEFAULT_TIMEOUT, capture_output=True,
             )
-            self._run_sfm(frames_dir, out, sfm_tool)
+            self._run_sfm(frames_dir, out, sfm_tool, ordered=True)
             return out
         if src.is_dir():
             # 360 inputs (reference contract wrapper/splatter.py:257-268:
@@ -210,9 +210,11 @@ class Splatter:
                 n = crop_equirect_dir(src, crops)
                 if n == 0:
                     raise ValidationError(f"no panorama images in {src}")
-                self._run_sfm(crops, out, sfm_tool)
+                # Interleaved per-panorama crops are NOT temporally
+                # adjacent on disk -> exhaustive matching.
+                self._run_sfm(crops, out, sfm_tool, ordered=False)
                 return out
-            self._run_sfm(src, out, sfm_tool)
+            self._run_sfm(src, out, sfm_tool, ordered=False)
             return out
         raise ValidationError(f"Unsupported input: {src}")
 
@@ -235,7 +237,8 @@ class Splatter:
             return int(out.stdout.strip() or 0)
 
     @staticmethod
-    def _run_sfm(images_dir: Path, out: Path, sfm_tool: str) -> None:
+    def _run_sfm(images_dir: Path, out: Path, sfm_tool: str,
+                 ordered: bool = False) -> None:
         """Drive external SfM -> transforms.json.  The reference delegates
         to ``ns-process-data`` with ``sfm_tool`` hloc (its base.yaml
         default) or colmap (splatter.py:298-311); here both tools are
@@ -246,9 +249,11 @@ class Splatter:
         package is absent, since hloc needs hub-downloaded model weights."""
         from . import colmap, hloc
 
-        # Video frames are temporally ordered -> sequential matching;
-        # arbitrary image sets -> exhaustive.
-        matcher = "sequential" if images_dir.name == "images" else "exhaustive"
+        # The caller says whether frames are temporally ordered (video
+        # frame extraction) -> sequential matching; arbitrary image sets
+        # (user directories, equirect crops) -> exhaustive.  Never inferred
+        # from the directory name.
+        matcher = "sequential" if ordered else "exhaustive"
         if sfm_tool in ("exhaustive", "sequential"):
             matcher = sfm_tool
         if sfm_tool == "hloc" and hloc.hloc_available():

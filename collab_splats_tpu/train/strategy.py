@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from ..core.projection import quat_to_rotmat
 from ..models.gaussians import GaussianParams
 from ..ops.rasterize import RenderMeta
+from ..ops.segsum import spread_masked
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,12 +107,9 @@ def update_state(
     mask = meta.bins.tile_mask.reshape(-1)
     g = jnp.abs(sink_grad).reshape(-1, 2)
     g = jnp.where(mask[:, None], g, 0.0)
-    # Spread masked slots uniformly instead of funneling them to one
-    # dropped row: their contributions are zeroed above, and collision-free
-    # indices keep the scatter-add throughput-bound (see the matching note
-    # in ops/rasterize.py).
-    spread = jnp.arange(idx.shape[0], dtype=jnp.int32) % jnp.int32(c)
-    idx = jnp.where(mask, idx, spread)
+    # Collision-free scatter indices (contributions at masked slots are
+    # zeroed above) — see ops/segsum.spread_masked.
+    idx = spread_masked(idx, mask, c)
     # One 2-column row scatter (1-D scatters cost ~10x more per element).
     guv = jnp.zeros((c, 2), jnp.float32).at[idx].add(g, mode="drop")
     scale = 0.5 * max(meta.width, meta.height)

@@ -63,3 +63,34 @@ def test_expand_rows_empty_segments():
     expected[7] = 1.0
     expected[49] = 1.0
     np.testing.assert_allclose(g, expected, rtol=1e-6, atol=1e-6)
+
+
+class TestWindowedGather:
+    """windowed_gather must equal the plain clipped element gather for every
+    offset alignment and boundary case (it is select-only by design — a
+    one-hot reduction variant was miscompiled to a quantizing bf16 matmul
+    on TPU; see the ops/tiles.py docstring)."""
+
+    def test_matches_element_gather(self):
+        from collab_splats_tpu.ops.tiles import windowed_gather
+        key = jax.random.PRNGKey(0)
+        for m in (37, 64, 1000, 1021):
+            src = jax.random.randint(
+                jax.random.fold_in(key, m), (m,), 0, 1 << 24, dtype=jnp.int32
+            )
+            for k_cap in (8, 32):
+                # Cover every offset mod block, plus boundary starts.
+                starts = jnp.array(
+                    [0, 1, 2, 3, 4, 5, 6, 7, m - 1, m - k_cap if m > k_cap
+                     else 0, m // 2], dtype=jnp.int32)
+                got = windowed_gather(src, starts, k_cap)
+                win = starts[:, None] + jnp.arange(k_cap, dtype=jnp.int32)
+                # Lanes past the end read padding; callers mask them, so
+                # compare only in-range lanes.
+                in_range = win < m
+                want = src[jnp.clip(win, 0, m - 1)]
+                np.testing.assert_array_equal(
+                    np.asarray(jnp.where(in_range, got, 0)),
+                    np.asarray(jnp.where(in_range, want, 0)),
+                    err_msg=f"m={m} k_cap={k_cap}",
+                )
