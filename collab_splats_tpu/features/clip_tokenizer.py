@@ -49,13 +49,14 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+# CLIP's original pattern uses regex-module classes \p{L}/\p{N}; Python's
+# `re` has neither, but [^\W\d_] (any word char that is not a digit or
+# underscore) reproduces \p{L} and \d reproduces \p{N} under re.UNICODE,
+# so accented/non-Latin words tokenize like the reference tokenizer.
 _PAT = re.compile(
     r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-    r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-        r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
+    r"""[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+    re.IGNORECASE | re.UNICODE,
 )
 
 

@@ -78,9 +78,18 @@ class FeatureDatamanager(FullImageDatamanager):
     def _cache_path(self) -> Optional[Path]:
         if self.feature_config.cache_dir is None:
             return None
+        # The key must identify the extractor *variant*, not just its name:
+        # dropping converted weights into weights/ flips an extractor from
+        # the offline fallback to the released tower (different dims AND
+        # different values), and a stale cache would be served silently.
+        variants = sorted(
+            (name, bool(getattr(ext, "pretrained", False)),
+             int(getattr(ext, "feature_dim", 0)))
+            for name, ext in self._extractors.items()
+        )
         key = hashlib.sha256(
             json.dumps(
-                [self.image_names, sorted(self.feature_config.extractors),
+                [self.image_names, variants,
                  self.feature_config.final_resolution]
             ).encode()
         ).hexdigest()[:16]

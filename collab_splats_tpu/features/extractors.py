@@ -19,6 +19,7 @@ pipeline is agnostic to which extractor produced the maps.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 from typing import Callable, Dict, Optional, Tuple
 
@@ -37,11 +38,21 @@ def register(name: str):
     return deco
 
 
+@functools.lru_cache(maxsize=None)
+def _default_extractor(name: str) -> "BaseExtractor":
+    return _REGISTRY[name]()
+
+
 def get_extractor(name: str, **kw) -> "BaseExtractor":
     if name not in _REGISTRY:
         raise ValueError(
             f"Unknown extractor '{name}'. Available: {sorted(_REGISTRY)}"
         )
+    if not kw:
+        # Default-config extractors are cached: with released weights
+        # present, constructing e.g. the CLIP tower re-reads and uploads
+        # ~1.2 GB per call (query_mesh used to pay this per text query).
+        return _default_extractor(name)
     return _REGISTRY[name](**kw)
 
 
@@ -61,131 +72,6 @@ class BaseExtractor:
     def encode_text(self, texts) -> Optional[np.ndarray]:
         """[N, C] unit embeddings, or None if no text tower."""
         return None
-
-
-# --------------------------------------------------------------------- ViT
-
-
-def _layer_norm(x, scale, bias, eps=1e-6):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.var(x, -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-
-
-def vit_forward(params: Dict, patches: jax.Array, num_heads: int) -> jax.Array:
-    """Pre-norm ViT encoder over patch tokens [T, D] (no CLS handling here).
-
-    ``params`` layout per block i: ``blocks.{i}.{ln1,ln2}.{scale,bias}``,
-    ``blocks.{i}.attn.{wq,wk,wv,wo}`` [D, D] (+ ``.b*`` biases),
-    ``blocks.{i}.mlp.{w1,b1,w2,b2}``.
-    """
-    x = patches
-    d = x.shape[-1]
-    n_blocks = params["n_blocks"]
-    head_dim = d // num_heads
-    for i in range(n_blocks):
-        p = lambda k: params[f"blocks.{i}.{k}"]
-        h = _layer_norm(x, p("ln1.scale"), p("ln1.bias"))
-        q = (h @ p("attn.wq") + p("attn.bq")).reshape(-1, num_heads, head_dim)
-        k = (h @ p("attn.wk") + p("attn.bk")).reshape(-1, num_heads, head_dim)
-        v = (h @ p("attn.wv") + p("attn.bv")).reshape(-1, num_heads, head_dim)
-        att = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(head_dim)
-        att = jax.nn.softmax(att, axis=-1)
-        o = jnp.einsum("hqk,khd->qhd", att, v).reshape(-1, d)
-        x = x + o @ p("attn.wo") + p("attn.bo")
-        h = _layer_norm(x, p("ln2.scale"), p("ln2.bias"))
-        h = jax.nn.gelu(h @ p("mlp.w1") + p("mlp.b1"))
-        x = x + h @ p("mlp.w2") + p("mlp.b2")
-    return x
-
-
-def init_vit_params(
-    key: jax.Array, dim: int, n_blocks: int, mlp_ratio: int = 4
-) -> Dict:
-    params = {"n_blocks": n_blocks}
-    keys = jax.random.split(key, n_blocks * 6 + 1)
-    ki = iter(keys)
-    sc = 1.0 / np.sqrt(dim)
-    for i in range(n_blocks):
-        params[f"blocks.{i}.ln1.scale"] = jnp.ones(dim)
-        params[f"blocks.{i}.ln1.bias"] = jnp.zeros(dim)
-        params[f"blocks.{i}.ln2.scale"] = jnp.ones(dim)
-        params[f"blocks.{i}.ln2.bias"] = jnp.zeros(dim)
-        for nm in ("wq", "wk", "wv", "wo"):
-            params[f"blocks.{i}.attn.{nm}"] = (
-                jax.random.normal(next(ki), (dim, dim)) * sc
-            )
-            params[f"blocks.{i}.attn.b{nm[1]}"] = jnp.zeros(dim)
-        params[f"blocks.{i}.mlp.w1"] = (
-            jax.random.normal(next(ki), (dim, dim * mlp_ratio)) * sc
-        )
-        params[f"blocks.{i}.mlp.b1"] = jnp.zeros(dim * mlp_ratio)
-        params[f"blocks.{i}.mlp.w2"] = (
-            jax.random.normal(next(ki), (dim * mlp_ratio, dim)) * sc
-        )
-        params[f"blocks.{i}.mlp.b2"] = jnp.zeros(dim)
-    return params
-
-
-@dataclasses.dataclass
-class ViTExtractor(BaseExtractor):
-    """Patch-token ViT encoder (MaskCLIP / DINOv2 architecture shape).
-
-    Random-initialized unless ``weights_npz`` points at a converted
-    checkpoint; the extraction pipeline and caching are weight-agnostic.
-    """
-
-    feature_dim: int = 384
-    patch_size: int = 14
-    n_blocks: int = 4
-    num_heads: int = 6
-    resolution: int = 518
-    weights_npz: Optional[str] = None
-    mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
-    std: Tuple[float, ...] = (0.5, 0.5, 0.5)
-
-    def __post_init__(self):
-        if self.weights_npz:
-            data = np.load(self.weights_npz)
-            self.params = {
-                k: jnp.asarray(v) for k, v in data.items()
-            }
-            self.params["n_blocks"] = int(data["n_blocks"])
-        else:
-            self.params = init_vit_params(
-                jax.random.PRNGKey(0), self.feature_dim, self.n_blocks
-            )
-        self.params["patch_embed"] = self.params.get(
-            "patch_embed",
-            jnp.asarray(
-                jax.random.normal(
-                    jax.random.PRNGKey(1),
-                    (self.patch_size * self.patch_size * 3, self.feature_dim),
-                )
-                / np.sqrt(self.patch_size**2 * 3)
-            ),
-        )
-        self._fwd = jax.jit(
-            lambda patches: vit_forward(self.params, patches, self.num_heads)
-        )
-
-    def __call__(self, image: np.ndarray) -> np.ndarray:
-        img = np.asarray(image, np.float32)
-        h, w = img.shape[:2]
-        scale = self.resolution / max(h, w)
-        th = max(int(h * scale) // self.patch_size, 1) * self.patch_size
-        tw = max(int(w * scale) // self.patch_size, 1) * self.patch_size
-        img = np.asarray(
-            jax.image.resize(jnp.asarray(img), (th, tw, 3), "linear")
-        )
-        img = (img - np.asarray(self.mean)) / np.asarray(self.std)
-        ph, pw = th // self.patch_size, tw // self.patch_size
-        patches = img.reshape(
-            ph, self.patch_size, pw, self.patch_size, 3
-        ).transpose(0, 2, 1, 3, 4).reshape(ph * pw, -1)
-        tokens = jnp.asarray(patches) @ self.params["patch_embed"]
-        feats = self._fwd(tokens)                        # [T, D]
-        return np.asarray(feats).reshape(ph, pw, -1).transpose(2, 0, 1)
 
 
 def _prep_image(image, resolution, patch_size, mean, std):
@@ -231,6 +117,14 @@ class DINOv2Extractor(BaseExtractor):
             data = np.load(path)
             self.params = {k: jnp.asarray(data[k]) for k in data.files}
             self.pretrained = True
+            # Derive width/heads from the checkpoint when it disagrees with
+            # the configured width (head_dim is 64 for every released
+            # DINOv2 size): trusting the dataclass defaults would silently
+            # mis-group attention heads for vitb/vitl conversions.
+            ckpt_dim = int(self.params["cls_token"].shape[-1])
+            if ckpt_dim != self.feature_dim:
+                self.feature_dim = ckpt_dim
+                self.num_heads = max(ckpt_dim // 64, 1)
         else:
             self.params = vit.init_dinov2_params(
                 jax.random.PRNGKey(0), self.feature_dim,

@@ -79,15 +79,44 @@ def dinov2_block(x, p, i, num_heads):
     return x + p[f"{pre}.ls2"] * h                    # LayerScale gamma_2
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix reproducing
+    ``torch.nn.functional.interpolate(mode="bicubic",
+    align_corners=False)``: Keys cubic kernel with a=-0.75 (NOT the
+    a=-0.5 used by jax.image.resize's "cubic") and border-replicate
+    index clamping."""
+    a = -0.75
+    scale = n_in / n_out
+    w = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        base = int(np.floor(x))
+        t = x - base
+        for k in range(-1, 3):
+            d = abs(k - t)
+            if d <= 1.0:
+                wk = ((a + 2) * d - (a + 3)) * d * d + 1
+            elif d < 2.0:
+                wk = (((d - 5) * d + 8) * d - 4) * a
+            else:
+                wk = 0.0
+            w[i, np.clip(base + k, 0, n_in - 1)] += wk
+    return w.astype(np.float32)
+
+
 def interpolate_pos_embed(pos: jax.Array, grid_hw: Tuple[int, int]) -> jax.Array:
     """Resize the [1 + g*g, D] learned positional table to an (h, w) patch
-    grid with bicubic interpolation (DINOv2 interpolate_pos_encoding)."""
+    grid with torch-parity bicubic interpolation (DINOv2 / MaskCLIP call
+    ``F.interpolate(mode="bicubic")``; matching the released models needs
+    the same a=-0.75 kernel, which jax.image.resize does not expose)."""
     h, w = grid_hw
     cls_pos, patch_pos = pos[:1], pos[1:]
     g = int(round(np.sqrt(patch_pos.shape[0])))
     if (h, w) != (g, g):
         grid = patch_pos.reshape(g, g, -1)
-        grid = jax.image.resize(grid, (h, w, grid.shape[-1]), "cubic")
+        wh = jnp.asarray(_torch_bicubic_matrix(g, h))
+        ww = jnp.asarray(_torch_bicubic_matrix(g, w))
+        grid = jnp.einsum("hg,gkd,wk->hwd", wh, grid, ww)
         patch_pos = grid.reshape(h * w, -1)
     return jnp.concatenate([cls_pos, patch_pos], axis=0)
 

@@ -14,13 +14,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-FILENAMES = {
-    "dinov2": "dinov2_vits14.npz",
-    "clip": "clip_vitl14_336.npz",
-    "vgg16_lpips": "vgg16_lpips.npz",
-}
-
-
 def weight_dirs() -> List[str]:
     dirs = []
     env = os.environ.get("COLLAB_SPLATS_WEIGHTS")

@@ -301,9 +301,11 @@ def make_sharded_refine_step(
     single-device refine, sharded trajectories match single-device ones to
     float tolerance — tested in tests/test_parallel.py.
 
-    Returns refine(params, alive, strat_state, opt_state, key,
+    Returns refine(params, alive, opt_state, strat_state, key,
                    allow_split, scale_cull, screen_cull)
         -> (params, alive, opt_state, strat_state, counts)
+    (same state-argument order as Trainer._refine_step and
+    make_sharded_train_step).
     """
     from ..train import strategy
 
@@ -311,7 +313,7 @@ def make_sharded_refine_step(
         jax.jit,
         static_argnames=("allow_split", "scale_cull", "screen_cull"),
     )
-    def refine_step(params, alive, strat_state, opt_state, key,
+    def refine_step(params, alive, opt_state, strat_state, key,
                     allow_split=True, scale_cull=False, screen_cull=False):
         res = strategy.refine(
             params, alive, strat_state, key, strategy_cfg,

@@ -19,12 +19,9 @@ _DEFAULT_DIR = os.path.join(
     "collab_splats_tpu", "jax_cache",
 )
 
-_enabled = False
-
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Enable the persistent compilation cache and return its directory."""
-    global _enabled
     import jax
 
     path = (
@@ -38,5 +35,4 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # programs recompile faster than a disk round-trip.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    _enabled = True
     return path

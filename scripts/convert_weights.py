@@ -8,7 +8,7 @@ checkpoints are available and the resulting ``.npz`` files are dropped under
 
     python scripts/convert_weights.py dinov2 dinov2_vits14.pth weights/dinov2_vits14.npz
     python scripts/convert_weights.py clip   ViT-L-14-336px.pt weights/clip_vitl14_336.npz
-    python scripts/convert_weights.py vgg16  vgg16.pth         weights/vgg16_lpips.npz
+    python scripts/convert_weights.py vgg16  vgg16.pth         weights/vgg16_lpips.npz [lpips_lins.pth]
 
 Sources:
     * dinov2: ``torch.hub.load("facebookresearch/dinov2", "dinov2_vits14")``
@@ -168,10 +168,16 @@ def convert_vgg16(sd: Dict, lpips_sd: Dict | None = None) -> Dict[str, np.ndarra
 
 
 def main():
-    if len(sys.argv) != 4:
+    # vgg16 takes an optional 4th arg: the lpips package's ``lins``
+    # state_dict (learned per-channel LPIPS weights); without it the
+    # export falls back to uniform 1/C weights and the metric is a
+    # VGG-feature distance, not true LPIPS.
+    if len(sys.argv) not in (4, 5) or (len(sys.argv) == 5
+                                       and sys.argv[1] != "vgg16"):
         print(__doc__)
         sys.exit(1)
-    kind, src, dst = sys.argv[1:]
+    kind, src, dst = sys.argv[1:4]
+    lpips_src = sys.argv[4] if len(sys.argv) == 5 else None
     import torch
 
     sd = torch.load(src, map_location="cpu")
@@ -186,7 +192,14 @@ def main():
     elif kind == "clip":
         out = convert_clip(sd)
     elif kind == "vgg16":
-        out = convert_vgg16(sd)
+        lpips_sd = None
+        if lpips_src is not None:
+            lpips_sd = torch.load(lpips_src, map_location="cpu")
+            if hasattr(lpips_sd, "state_dict"):
+                lpips_sd = lpips_sd.state_dict()
+            lpips_sd = {k: v.float().numpy() if hasattr(v, "numpy") else v
+                        for k, v in lpips_sd.items()}
+        out = convert_vgg16(sd, lpips_sd)
     else:
         raise SystemExit(f"unknown kind {kind!r}")
     np.savez_compressed(dst, **out)

@@ -147,7 +147,7 @@ class TestShardedRefinement:
             )
             if i in refine_at:
                 params, alive, opt_state, strat, counts = refine_fn(
-                    params, alive, strat, opt_state,
+                    params, alive, opt_state, strat,
                     jax.random.fold_in(key, 1000 + i),
                 )
         return params, alive, counts, metrics

@@ -329,3 +329,22 @@ class TestExtractorGating:
         assert ex.pretrained
         f = ex(np.random.rand(60, 60, 3).astype(np.float32))
         assert f.shape[0] == 32
+
+
+def test_bicubic_pos_embed_matches_torch():
+    """interpolate_pos_embed must reproduce torch's bicubic kernel
+    (a=-0.75, align_corners=False) — the interpolated path runs on every
+    real-weights forward (DINOv2 800px, CLIP 1024px)."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    from collab_splats_tpu.features.vit import _torch_bicubic_matrix
+
+    x = np.random.RandomState(0).randn(1, 5, 24, 24).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(73, 57), mode="bicubic",
+        align_corners=False,
+    ).numpy()
+    wh = _torch_bicubic_matrix(24, 73)
+    ww = _torch_bicubic_matrix(24, 57)
+    got = np.einsum("hg,bcgk,wk->bchw", wh, x, ww)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
