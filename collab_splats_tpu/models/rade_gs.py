@@ -195,8 +195,13 @@ def get_loss(
         "rgb_loss": losses.rgb_loss(outputs["rgb"], image, config.ssim_lambda)
     }
     if config.use_scale_regularization:
-        loss_dict["scale_reg"] = losses.scale_regularization(
+        # Splatfacto applies the anisotropy penalty only every 10th step;
+        # applying it every step is ~10x the reference regularization.
+        reg = losses.scale_regularization(
             params["scales"], alive.astype(jnp.float32), config.max_gauss_ratio
+        )
+        loss_dict["scale_reg"] = jnp.where(
+            jnp.asarray(step) % 10 == 0, reg, 0.0
         )
     if reg_active and config.use_depth_normal_loss:
         loss_dict["depth_normal_loss"] = losses.depth_normal_loss(

@@ -311,14 +311,17 @@ def make_sharded_refine_step(
 
     @functools.partial(
         jax.jit,
-        static_argnames=("allow_split", "scale_cull", "screen_cull"),
+        static_argnames=("allow_split", "scale_cull", "screen_cull",
+                         "allow_dup"),
     )
     def refine_step(params, alive, opt_state, strat_state, key,
-                    allow_split=True, scale_cull=False, screen_cull=False):
+                    allow_split=True, scale_cull=False, screen_cull=False,
+                    allow_dup=True):
         res = strategy.refine(
             params, alive, strat_state, key, strategy_cfg,
             scene_scale=scene_scale, allow_split=allow_split,
             scale_cull=scale_cull, screen_size_cull=screen_cull,
+            allow_dup=allow_dup,
         )
         opt_state = strategy.zero_opt_rows(opt_state, res.written)
         return res.params, res.alive, opt_state, res.state, (

@@ -63,11 +63,31 @@ class StrategyConfig:
         )
 
     def is_reset_step(self, step: int) -> bool:
+        # Splatfacto resets ``refine_every`` steps after each interval
+        # boundary (step % interval == refine_every), not on the boundary
+        # itself — the offset matters because densification is paused for
+        # num_train_data + refine_every steps after every reset.
         period = self.reset_alpha_every * self.refine_every
-        return step > 0 and step % period == 0 and step < self.stop_split_at
+        return (
+            step > 0
+            and step % period == self.refine_every
+            and step < self.stop_split_at
+        )
 
     def splits_allowed(self, step: int) -> bool:
         return step < self.stop_split_at
+
+    def densify_active(self, step: int, num_train_data: int) -> bool:
+        """Whether dup/split run at this refine step (Splatfacto
+        ``do_densification``): inside the densification window AND past
+        the post-opacity-reset pause — refining right after a reset would
+        cull on clamped opacities and densify on stats gathered while
+        opacities were clamped."""
+        period = self.reset_alpha_every * self.refine_every
+        return (
+            step < self.stop_split_at
+            and step % period > num_train_data + self.refine_every
+        )
 
     def scale_cull_active(self, step: int) -> bool:
         return step > self.reset_alpha_every * self.refine_every
@@ -112,18 +132,7 @@ def update_state(
     idx = spread_masked(idx, mask, c)
     # One 2-column row scatter (1-D scatters cost ~10x more per element).
     guv = jnp.zeros((c, 2), jnp.float32).at[idx].add(g, mode="drop")
-    scale = 0.5 * max(meta.width, meta.height)
-    grad_ndc = jnp.sqrt(
-        (guv[:, 0] * scale) ** 2 + (guv[:, 1] * scale) ** 2
-    )
-
-    visible = meta.proj.valid
-    radii_frac = meta.proj.radius / float(max(meta.width, meta.height))
-    return StrategyState(
-        grad_accum=state.grad_accum + grad_ndc,
-        count=state.count + visible.astype(jnp.float32),
-        max_radii=jnp.maximum(state.max_radii, radii_frac),
-    )
+    return _accumulate(state, meta, guv)
 
 
 def update_state_from_isect(
@@ -144,6 +153,14 @@ def update_state_from_isect(
     # kernel zero-fills the rest, so an unmasked scatter-add is safe.
     g = jnp.abs(sink_grad).T                              # [M, 2]
     guv = jnp.zeros((c, 2), jnp.float32).at[gid].add(g, mode="drop")
+    return _accumulate(state, meta, guv)
+
+
+def _accumulate(
+    state: StrategyState, meta: RenderMeta, guv: jax.Array
+) -> StrategyState:
+    """Shared statistics tail: NDC scaling (x max(W,H)/2, the Splatfacto
+    threshold convention), grad norm, visibility counts, max radii."""
     scale = 0.5 * max(meta.width, meta.height)
     grad_ndc = jnp.sqrt(
         (guv[:, 0] * scale) ** 2 + (guv[:, 1] * scale) ** 2
@@ -187,11 +204,15 @@ def refine(
     allow_split: bool = True,
     scale_cull: bool = False,
     screen_size_cull: bool = False,
+    allow_dup: bool = True,
 ) -> RefineResult:
     """One densify/prune pass (static shapes; jit-safe).
 
     The static flags come from :class:`StrategyConfig` schedule helpers and
     are resolved host-side by the trainer at each refine step.
+    ``allow_split=False, allow_dup=False`` gives the cull-only pass the
+    reference runs after ``stop_split_at`` (Splatfacto's
+    ``continue_cull_post_densification`` branch).
     """
     c = alive.shape[0]
     alive_f = alive
@@ -212,6 +233,8 @@ def refine(
     if not allow_split:
         is_split = jnp.zeros_like(is_split)
     is_dup = high_grad & ~big_world & ~is_split
+    if not allow_dup:
+        is_dup = jnp.zeros_like(is_dup)
 
     culled = alive_f & (opac < cfg.cull_alpha_thresh)
     if scale_cull:
@@ -221,8 +244,11 @@ def refine(
     is_dup = is_dup & ~culled
     is_split = is_split & ~culled
 
-    survivors = alive_f & ~culled & ~is_split
-    free = ~survivors
+    # Free slots come from dead/culled rows only.  A split source is
+    # removed ONLY when all of its children fit (all-or-nothing): letting
+    # sources free their own slot first allowed a full table to delete
+    # high-gradient Gaussians outright (source removed, children dropped).
+    free = (~alive_f) | culled
     n_free = jnp.sum(free.astype(jnp.int32))
 
     # rank -> slot mapping for free slots.
@@ -235,6 +261,15 @@ def refine(
     n_dup = jnp.sum(is_dup.astype(jnp.int32))
     split_rank = jnp.cumsum(is_split.astype(jnp.int32)) - 1
     dup_rank = jnp.cumsum(is_dup.astype(jnp.int32)) - 1
+    n_items_split = cfg.n_split_samples
+    total_split = jnp.sum(is_split.astype(jnp.int32))
+    # Split children rank FIRST (they replace their removed source — losing
+    # them to a dup's copy is a net deletion); a split fits iff its last
+    # child's rank is in range.
+    split_fits = is_split & (
+        (split_rank + 1) * n_items_split <= n_free
+    )
+    survivors = alive_f & ~culled & ~split_fits
 
     new_params = dict(params)
     written = jnp.zeros((c,), bool)
@@ -255,37 +290,40 @@ def refine(
         written = written.at[safe_t].set(True, mode="drop")
         return out, written
 
-    # --- duplications: one copy per source, same parameters.
-    dup_targets = jnp.where(
-        is_dup & (dup_rank < n_free), slot_of_rank[jnp.clip(dup_rank, 0, c - 1)], c
-    )
-    new_params, written = scatter_rows(new_params, written, dup_targets, params)
-
     # --- splits: n_split_samples children per source, resampled positions,
-    # scales shrunk by split_scale_factor (original removed via ~survivors).
-    n_items_split = cfg.n_split_samples
+    # scales shrunk by split_scale_factor (source removed iff all children
+    # placed — see split_fits above).
     rot = quat_to_rotmat(params["quats"])
     split_scales = jnp.log(
         jnp.clip(scales / cfg.split_scale_factor, 1e-10, None)
     )
-    total_split = jnp.sum(is_split.astype(jnp.int32))
     for j in range(n_items_split):
         eps = jax.random.normal(jax.random.fold_in(key, j), (c, 3))
         offset = jnp.einsum("nij,nj->ni", rot, scales * eps)
         child = dict(params)
         child["means"] = params["means"] + offset
         child["scales"] = split_scales
-        item_rank = n_dup + split_rank * n_items_split + j
+        item_rank = split_rank * n_items_split + j
         targets = jnp.where(
-            is_split & (item_rank < n_free),
+            split_fits,
             slot_of_rank[jnp.clip(item_rank, 0, c - 1)],
             c,
         )
         new_params, written = scatter_rows(new_params, written, targets, child)
 
+    # --- duplications: one copy per source, ranked after all split
+    # children.
+    dup_item_rank = total_split * n_items_split + dup_rank
+    dup_targets = jnp.where(
+        is_dup & (dup_item_rank < n_free),
+        slot_of_rank[jnp.clip(dup_item_rank, 0, c - 1)],
+        c,
+    )
+    new_params, written = scatter_rows(new_params, written, dup_targets, params)
+
     new_alive = survivors | written
     wanted = n_dup + total_split * n_items_split
-    dropped = wanted - jnp.minimum(wanted, n_free)
+    dropped = wanted - jnp.sum(written.astype(jnp.int32))
 
     return RefineResult(
         params=new_params,

@@ -51,6 +51,9 @@ class TrainerConfig:
     seed: int = 42
     optimize_camera_poses: bool = False  # per-camera SO3xR3 deltas
     use_bilateral_grid: bool = False     # per-image appearance grids
+    # Datasets up to this size are cached in HBM; larger ones stay host
+    # numpy and stream one frame per step (see Trainer.__init__).
+    dataset_hbm_budget_bytes: int = 4 << 30
 
 
 class Trainer:
@@ -74,12 +77,24 @@ class Trainer:
         enable_compilation_cache()  # multi-minute TPU compiles, cached on disk
         self.config = config
         self.cameras = list(cameras)
-        self.images = [jnp.asarray(im, jnp.float32) for im in images]
+        # Device-cache the dataset only while it fits a modest HBM budget:
+        # eagerly uploading every frame (and feature map) pins the whole
+        # capture in HBM for the trainer's lifetime (~24 GB for 1000
+        # frames at 1080p, more with features), competing with the
+        # parameter/optimizer tables.  Past the budget, frames stay host
+        # numpy and the jitted step device_puts the one selected frame per
+        # call (the production streaming pattern).
+        total_bytes = sum(np.asarray(im).size * 4 for im in images)
+        if features is not None:
+            total_bytes += sum(
+                np.asarray(v).size * 4 for f in features for v in f.values()
+            )
+        on_device = total_bytes <= config.dataset_hbm_budget_bytes
+        to_arr = (lambda x: jnp.asarray(x, jnp.float32)) if on_device \
+            else (lambda x: np.asarray(x, np.float32))
+        self.images = [to_arr(im) for im in images]
         self.features = (
-            [
-                {k: jnp.asarray(v, jnp.float32) for k, v in f.items()}
-                for f in features
-            ]
+            [{k: to_arr(v) for k, v in f.items()} for f in features]
             if features is not None
             else None
         )
@@ -205,17 +220,19 @@ class Trainer:
 
     @functools.partial(
         jax.jit,
-        static_argnames=("self", "allow_split", "scale_cull", "screen_cull"),
+        static_argnames=("self", "allow_split", "scale_cull", "screen_cull",
+                         "allow_dup"),
     )
     def _refine_step(
         self, params, alive, opt_state, strat_state, key,
         allow_split: bool, scale_cull: bool, screen_cull: bool,
+        allow_dup: bool = True,
     ):
         res = strategy.refine(
             params, alive, strat_state, key, self.config.strategy,
             scene_scale=self.config.scene_scale,
             allow_split=allow_split, scale_cull=scale_cull,
-            screen_size_cull=screen_cull,
+            screen_size_cull=screen_cull, allow_dup=allow_dup,
         )
         opt_state = strategy.zero_opt_rows(opt_state, res.written)
         return res.params, res.alive, opt_state, res.state, (
@@ -248,21 +265,31 @@ class Trainer:
         self.step += 1
 
         if scfg.is_refine_step(self.step) and self.step < cfg.max_iterations:
-            self._maybe_grow_capacity()
-            rkey = jax.random.fold_in(self.key, 4 * self.step + 2)
-            (self.params, self.alive, self.opt_state, self.strat_state,
-             counts) = self._refine_step(
-                self.params, self.alive, self.opt_state, self.strat_state,
-                rkey,
-                allow_split=scfg.splits_allowed(self.step),
-                scale_cull=scfg.scale_cull_active(self.step)
-                and scfg.continue_cull_post_densification,
-                screen_cull=scfg.screen_size_active(self.step),
+            # Splatfacto refine schedule: densify (dup+split, then cull)
+            # inside the window and past the post-reset pause; after
+            # stop_split_at, cull-only passes iff
+            # continue_cull_post_densification; otherwise skip entirely.
+            densify = scfg.densify_active(self.step, len(self.cameras))
+            cull_only = (
+                not scfg.splits_allowed(self.step)
+                and scfg.continue_cull_post_densification
             )
-            metrics["refine_dup"], metrics["refine_split"], \
-                metrics["refine_cull"], metrics["refine_dropped"] = [
-                int(x) for x in counts
-            ]
+            if densify or cull_only:
+                self._maybe_grow_capacity()
+                rkey = jax.random.fold_in(self.key, 4 * self.step + 2)
+                (self.params, self.alive, self.opt_state, self.strat_state,
+                 counts) = self._refine_step(
+                    self.params, self.alive, self.opt_state, self.strat_state,
+                    rkey,
+                    allow_split=densify,
+                    allow_dup=densify,
+                    scale_cull=scfg.scale_cull_active(self.step),
+                    screen_cull=scfg.screen_size_active(self.step),
+                )
+                metrics["refine_dup"], metrics["refine_split"], \
+                    metrics["refine_cull"], metrics["refine_dropped"] = [
+                    int(x) for x in counts
+                ]
         if scfg.is_reset_step(self.step):
             self.params = strategy.reset_opacity(self.params, scfg)
             # Zero the opacity Adam moments, else accumulated momentum undoes
@@ -386,13 +413,22 @@ class Trainer:
             else:
                 restored.append(leaf)
         self.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+        # Same keypath rendering as save_checkpoint's _flatten (GetAttrKey
+        # renders as ".grad_accum" — a hand-built "strat/grad_accum" key
+        # silently never matched and resumes lost the densification stats).
         self.strat_state = strategy.init_state(alive.shape[0])
-        for name in ("grad_accum", "count", "max_radii"):
-            key = f"strat/{name}"
-            if key in extras:
-                self.strat_state = self.strat_state._replace(
-                    **{name: jnp.asarray(extras[key])}
-                )
+        flat_s, treedef_s = jax.tree_util.tree_flatten_with_path(
+            self.strat_state
+        )
+        restored_s = []
+        for keypath, leaf in flat_s:
+            key = "strat/" + "/".join(str(p) for p in keypath)
+            val = extras.get(key)
+            if val is not None and val.shape == leaf.shape:
+                restored_s.append(jnp.asarray(val))
+            else:
+                restored_s.append(leaf)
+        self.strat_state = jax.tree_util.tree_unflatten(treedef_s, restored_s)
 
     # ----------------------------------------------------------------- eval
     # Module-level jit wrapper: a fresh `jax.jit(...)` per call would discard

@@ -128,9 +128,18 @@ class TestSchedule:
         assert not cfg.is_refine_step(100)   # warmup
         assert cfg.is_refine_step(600)
         assert not cfg.is_refine_step(650)
-        assert cfg.is_reset_step(3000)
-        assert not cfg.is_reset_step(3100)
+        # Splatfacto resets refine_every steps AFTER the interval boundary.
+        assert cfg.is_reset_step(3100)
+        assert not cfg.is_reset_step(3000)
+        assert not cfg.is_reset_step(3200)
         assert cfg.splits_allowed(14999) and not cfg.splits_allowed(15000)
+        # Densification pauses for num_train_data + refine_every steps
+        # after each reset, and stops entirely at stop_split_at.
+        n_data = 100
+        assert not cfg.densify_active(3200, n_data)   # inside the pause
+        assert cfg.densify_active(3300, n_data)       # past it
+        assert cfg.densify_active(1000, n_data)
+        assert not cfg.densify_active(15000, n_data)
 
 
 class TestZeroOptRows:
@@ -158,3 +167,65 @@ class TestZeroOptRows:
         for leaf in leaves:
             assert float(jnp.sum(jnp.abs(leaf[7]))) == 0.0
             assert float(jnp.sum(jnp.abs(leaf[6]))) > 0.0
+
+
+class TestCapacityFullSplits:
+    def test_split_sources_survive_when_children_cannot_fit(self):
+        """A full table must never net-delete high-gradient Gaussians: if a
+        split's children can't be placed, the source stays alive."""
+        c = 16
+        key = jax.random.PRNGKey(0)
+        params = {
+            "means": jax.random.normal(key, (c, 3)),
+            "scales": jnp.full((c, 3), jnp.log(0.5)),     # big -> split
+            "quats": jnp.tile(jnp.array([1.0, 0, 0, 0]), (c, 1)),
+            "opacities": jnp.full((c, 1), 3.0),           # high alpha
+            "features_dc": jnp.zeros((c, 3)),
+            "features_rest": jnp.zeros((c, 0, 3)),
+        }
+        alive = jnp.ones((c,), bool)                      # table FULL
+        state = strategy.StrategyState(
+            grad_accum=jnp.full((c,), 10.0),              # all high-grad
+            count=jnp.ones((c,)),
+            max_radii=jnp.zeros((c,)),
+        )
+        cfg = strategy.StrategyConfig()
+        res = strategy.refine(params, alive, state, key, cfg,
+                              scene_scale=1.0)
+        # No free slots, nothing culled -> nothing written, nobody removed.
+        assert int(jnp.sum(res.alive)) == c
+        assert int(jnp.sum(res.written)) == 0
+        assert int(res.dropped) > 0
+
+
+class TestCheckpointStratState:
+    def test_strategy_state_round_trips(self, tmp_path):
+        from collab_splats_tpu.train import checkpoint as ckpt
+        c = 8
+        params = {"means": jnp.zeros((c, 3)),
+                  "scales": jnp.zeros((c, 3)),
+                  "quats": jnp.tile(jnp.array([1.0, 0, 0, 0]), (c, 1)),
+                  "opacities": jnp.zeros((c, 1)),
+                  "features_dc": jnp.zeros((c, 3)),
+                  "features_rest": jnp.zeros((c, 0, 3))}
+        alive = jnp.ones((c,), bool)
+        st = strategy.StrategyState(
+            grad_accum=jnp.arange(c, dtype=jnp.float32),
+            count=jnp.full((c,), 2.0),
+            max_radii=jnp.full((c,), 0.25),
+        )
+        ckpt.save_checkpoint(tmp_path, 7, params, alive, strat_state=st)
+        # Restore through the Trainer path (the naming of NamedTuple
+        # keypaths bit once: 'strat/.grad_accum' vs 'strat/grad_accum').
+        from collab_splats_tpu.core.cameras import Camera
+        from collab_splats_tpu.train.trainer import Trainer, TrainerConfig
+        cam = Camera(K=jnp.eye(3), c2w=jnp.eye(4), width=8, height=8)
+        img = np.zeros((8, 8, 3), np.float32)
+        tr = Trainer(TrainerConfig(), [cam], [img], params, alive)
+        import glob
+        path = sorted(glob.glob(str(tmp_path / "*.npz")))[-1]
+        tr.restore(path)
+        np.testing.assert_allclose(tr.strat_state.grad_accum,
+                                   np.arange(c, dtype=np.float32))
+        np.testing.assert_allclose(tr.strat_state.count, 2.0)
+        np.testing.assert_allclose(tr.strat_state.max_radii, 0.25)
