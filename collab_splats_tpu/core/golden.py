@@ -98,7 +98,11 @@ def render_golden(
     norms = normal_cam[order]
 
     ts = opts.tile_size
-    # Gaussian tile bbox (inclusive), same arithmetic as ops/tiles.py.
+    # Gaussian tile bbox (inclusive): floor((mean2d +- radius) / ts), the
+    # membership rule the production binning applies (ops/tiles.tile_bbox
+    # additionally clamps to the grid, which is membership-equivalent for
+    # on-screen pixels); kept unclamped here so the golden renderer stays
+    # a one-formula spec.
     tx0 = jnp.floor((mean2d[:, 0] - radius) / ts)
     ty0 = jnp.floor((mean2d[:, 1] - radius) / ts)
     tx1 = jnp.floor((mean2d[:, 0] + radius) / ts)

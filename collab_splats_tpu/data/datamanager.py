@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..core.cameras import Camera
-from .dataparser import load_image, parse_transforms_json
+from .dataparser import parse_transforms_json
 
 
 @dataclasses.dataclass
@@ -40,7 +40,20 @@ class FullImageDatamanager:
         scene = parse_transforms_json(
             path, downscale_factor, train_split_fraction
         )
-        load = lambda p: (load_image(p, downscale_factor) * 255).astype(np.uint8)
+        # Decode + resize straight to the uint8 cache (load_image's
+        # float32 [0,1] output would just be converted back, allocating a
+        # transient float frame per image for nothing).
+        def load(p):
+            from PIL import Image
+
+            img = Image.open(p).convert("RGB")
+            if downscale_factor > 1:
+                img = img.resize(
+                    (img.width // downscale_factor,
+                     img.height // downscale_factor),
+                    Image.BILINEAR,
+                )
+            return np.asarray(img, np.uint8)
         return cls(
             train_cameras=scene.train_cameras,
             eval_cameras=scene.eval_cameras,

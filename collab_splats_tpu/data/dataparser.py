@@ -106,7 +106,10 @@ def parse_transforms_json(
         make_camera(
             intr["fl_x"] / f_d, intr["fl_y"] / f_d,
             intr["cx"] / f_d, intr["cy"] / f_d,
-            int(round(intr["w"] / f_d)), int(round(intr["h"] / f_d)),
+            # Floor division — must match load_image's resize exactly or
+            # odd image dimensions produce a camera/image shape mismatch.
+            int(intr["w"]) // downscale_factor,
+            int(intr["h"]) // downscale_factor,
             poses[i].astype(np.float32),
         )
         for i, intr in enumerate(intrinsics)

@@ -337,12 +337,21 @@ def composite_bwd_kernel(
 
     # ---- Phase 1: forward replay, store per-chunk entry states + g_w.w sums
     def p1_body(state):
-        ci, log_t, wmax = state
+        ci, log_t, wmax, found = state
         load_chunk(ci)
         b = buf_ref[:]
         du, dv, _, _, alpha, keep, _, t_pix = splat_quantities(ci, b)
         log1m = jnp.log1p(-alpha)
         cum = _cumsum_lanes(log1m)
+        # Median-found flag: the EXACT same expression as the forward
+        # kernel's fired test (log-space, live lanes only) — deriving it
+        # from exp(log_t) here could disagree with the forward within a
+        # few ulps of 0.5 and route g_median to the wrong splat.
+        fired = ((log_t + cum) <= LOG_HALF) & keep
+        found = jnp.maximum(
+            found,
+            jnp.max(fired.astype(jnp.float32), axis=1, keepdims=True),
+        )
         # Same expression order as the forward kernel: the fallback-median
         # test in phase 2 compares w against wmax_fin bit-exactly.
         w = alpha * (jnp.exp(log_t + cum) * (1.0 / (1.0 - alpha)))
@@ -362,22 +371,22 @@ def composite_bwd_kernel(
         gw_sum_ref[ci] = jnp.sum(g_w * w, axis=1)
         wmax = jnp.maximum(wmax, jnp.max(w, axis=1, keepdims=True))
         log_t = log_t + jnp.sum(log1m, axis=1, keepdims=True)
-        return ci + 1, log_t, wmax
+        return ci + 1, log_t, wmax, found
 
     init1 = (
         jnp.zeros((), jnp.int32),
         jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
     )
-    _, log_t_fin, wmax_fin = jax.lax.while_loop(
+    _, log_t_fin, wmax_fin, crossed_ever = jax.lax.while_loop(
         lambda s: s[0] < nc, p1_body, init1
     )
     t_final = jnp.exp(log_t_fin)                         # [P, 1]
-    crossed_ever = (t_final <= 0.5).astype(jnp.float32)
 
     # ---- Phase 2: forward pass emitting per-chunk input gradients.
     def p2_body(state):
-        ci, seen_fb = state
+        ci, seen_fb, seen_med = state
         load_chunk(ci)
         b = buf_ref[:]
         du, dv, sigma, raw, alpha, keep, t_raw, t_pix = splat_quantities(ci, b)
@@ -418,11 +427,19 @@ def composite_bwd_kernel(
                    + g_alpha * t_final * inv_1ma_w)
         d_alpha = d_alpha * keep.astype(jnp.float32)
 
-        # Median routing: crossing splat, else max-weight splat.  Same
-        # telescoped crossing test as the forward kernel (bit-exact since
-        # log_t_in_c replays the forward carry).
-        first = (t_after <= 0.5) & (t_in > 0.5)
+        # Median routing: first fired LIVE lane (the forward's found-flag
+        # selection, replayed bit-exactly: log_t_in_c is the stored forward
+        # carry and cum the same lane scan), else max-weight splat.
         lane_p = jax.lax.broadcasted_iota(jnp.int32, (p, CHUNK), 1)
+        fired = ((log_t_in_c + cum) <= LOG_HALF) & keep
+        first_med_lane = jnp.min(
+            jnp.where(fired, lane_p, CHUNK), axis=1, keepdims=True
+        )
+        take_med = fired & (lane_p == first_med_lane) & (seen_med < 0.5)
+        seen_med = jnp.maximum(
+            seen_med,
+            jnp.max(fired.astype(jnp.float32), axis=1, keepdims=True),
+        )
         cand = (
             (w == wmax_fin) & (wmax_fin > 0.0)
             & (crossed_ever < 0.5) & (seen_fb < 0.5)
@@ -436,7 +453,7 @@ def composite_bwd_kernel(
         )
         sel = jnp.where(
             crossed_ever > 0.5,
-            first.astype(jnp.float32),
+            take_med.astype(jnp.float32),
             first_cand.astype(jnp.float32),
         )
         g_t = g_depth * w + sel * g_median
@@ -477,11 +494,12 @@ def composite_bwd_kernel(
         )
         dma.start()
         dma.wait()
-        return ci + 1, seen_fb
+        return ci + 1, seen_fb, seen_med
 
     jax.lax.while_loop(
         lambda s: s[0] < nc, p2_body,
-        (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32)),
+        (jnp.zeros((), jnp.int32), jnp.zeros((p, 1), jnp.float32),
+         jnp.zeros((p, 1), jnp.float32)),
     )
 
 

@@ -178,7 +178,14 @@ def render_tiled_pallas(
     else:
         depth = depth_sum
 
-    kernel_spill = jnp.sum(jnp.maximum(lens - max_chunks * CHUNK, 0))
+    # bins.spilled = globally-dropped + per-tile overflow past k_cap; the
+    # kernel truncates at max_chunks*CHUNK (>= k_cap) instead, so replace
+    # the k_cap tile-overflow term with the kernel's own — adding both
+    # would double-count every overflowing intersection.
+    tile_spill = jnp.sum(jnp.maximum(lens - k_cap, 0))
+    kernel_spill = (
+        jnp.sum(jnp.maximum(lens - max_chunks * CHUNK, 0)) - tile_spill
+    )
     out = RenderOutput(
         color=color,
         alpha=alpha,
@@ -204,9 +211,10 @@ class RenderMeta(NamedTuple):
     aligned_gid: Optional[jax.Array] = None
 
 
-def pallas_sink_shape(n: int, opts: RenderOptions, width: int, height: int):
+def pallas_sink_shape(width: int, height: int, n: int, opts: RenderOptions):
     """Shape of the per-intersection absgrad sink for the Pallas path
-    (aligned layout: M + num_tiles * CHUNK columns)."""
+    (aligned layout: M + num_tiles * CHUNK columns).  Same argument order
+    as :func:`absgrad_sink_shape` — the two are called side by side."""
     from .pallas.composite import CHUNK
     from .tiles import default_max_intersections
 

@@ -185,11 +185,23 @@ def bin_gaussians(
     nrows = ty1 - ty0 + 1
     counts = jnp.where(proj.valid, ncols * nrows, 0).astype(jnp.int32)
 
-    # Exclusive cumsum; conservatively drop whole Gaussians that would
-    # overflow the global buffer (two-pass so offsets stay consistent).
-    offsets0 = jnp.cumsum(counts) - counts
-    keep = offsets0 + counts <= m_cap
-    dropped = jnp.sum(jnp.where(keep, 0, counts))
+    # Conservatively drop whole Gaussians that would overflow the global
+    # buffer.  The raw count total can exceed int32 (1M gaussians whose
+    # radii balloon can cover the full grid: sum ~ 3.6e9), so the FIRST
+    # pass runs in f32 — exact as integers until the cumulative exceeds
+    # 2^24 >= m_cap, monotone afterwards, so the keep cut is sound — and
+    # the exact int32 offsets are recomputed over kept counts only (their
+    # sum is <= ~m_cap by construction), with a final exact guard for the
+    # few boundary rows the f32 pass may have mis-kept.
+    approx_incl = jnp.cumsum(counts.astype(jnp.float32))
+    keep0 = approx_incl <= float(m_cap)
+    counts_kept = jnp.where(keep0, counts, 0)
+    offsets = jnp.cumsum(counts_kept) - counts_kept
+    keep = keep0 & (offsets + counts_kept <= m_cap)
+    dropped_f = jnp.sum(counts.astype(jnp.float32)) - jnp.sum(
+        jnp.where(keep, counts, 0).astype(jnp.float32)
+    )
+    dropped = jnp.minimum(dropped_f, 2.0e9).astype(jnp.int32)
     counts = jnp.where(keep, counts, 0)
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1] if n > 0 else jnp.zeros((), jnp.int32)

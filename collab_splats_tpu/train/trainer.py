@@ -152,7 +152,7 @@ class Trainer:
             from ..ops.rasterize import pallas_sink_shape
 
             sink_shape = pallas_sink_shape(
-                alive.shape[0], cfg.render, camera.width, camera.height
+                camera.width, camera.height, alive.shape[0], cfg.render
             )
         else:
             sink_shape = absgrad_sink_shape(
