@@ -38,7 +38,7 @@ class GroupingParams:
     front_k_per_patch: int = 4
     iou_threshold: float = 0.25
     confidence_threshold: float = 0.85
-    max_objects: int = 256
+    max_objects: int = 255   # uint8 id maps: label+1 must fit in [1, 255]
     min_gaussians_per_mask: int = 5
 
 

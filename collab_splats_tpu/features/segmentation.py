@@ -61,9 +61,15 @@ def create_composite_mask(
     if not selected:
         return np.zeros(results[0]["segmentation"].shape[:2], np.uint8)
     masks, confs = zip(*selected)
+    # uint8 id maps hold at most 255 object ids; keep the HIGHEST-
+    # confidence masks when a cluttered frame produces more (assigning
+    # id 256 overflows on numpy>=2 and silently wrapped to background
+    # before).
+    order = np.argsort(confs)
+    if len(order) > 255:
+        order = order[-255:]
     h, w = masks[0].shape[:2]
     mask_id = np.zeros((h, w), np.uint8)
-    order = np.argsort(confs)
     for i, idx in enumerate(order, start=1):
         mask_id[masks[idx] == 1] = i
 
@@ -167,28 +173,18 @@ class FelzenszwalbLiteSegmenter:
             q[..., 0] * self.n_colors**2 + q[..., 1] * self.n_colors
             + q[..., 2]
         )
-        # Connected components of equal color via union-find on the grid.
-        parent = np.arange(h * w)
+        # Connected components of equal color: scipy's C labeling per
+        # quantized color value (a pure-Python union-find over ~4M pixel
+        # edges took minutes per 1080p frame).
+        from scipy import ndimage
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        flat = labels_c.reshape(-1)
-        idx = np.arange(h * w).reshape(h, w)
-        for a, b in (
-            (idx[:, :-1].reshape(-1), idx[:, 1:].reshape(-1)),
-            (idx[:-1, :].reshape(-1), idx[1:, :].reshape(-1)),
-        ):
-            same = flat[a] == flat[b]
-            for x, y in zip(a[same], b[same]):
-                rx, ry = find(x), find(y)
-                if rx != ry:
-                    parent[ry] = rx
-        roots = np.fromiter((find(i) for i in range(h * w)), np.int64, h * w)
-        _, comp = np.unique(roots, return_inverse=True)
+        comp = np.zeros((h, w), np.int64)
+        n_total = 0
+        for color in np.unique(labels_c):
+            lab, n = ndimage.label(labels_c == color)
+            comp = np.where(lab > 0, lab + n_total, comp)
+            n_total += n
+        _, comp = np.unique(comp, return_inverse=True)
         comp = comp.reshape(h, w)
 
         results = []

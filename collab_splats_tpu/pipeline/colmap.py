@@ -248,6 +248,13 @@ def run_colmap_sfm(
         "--output_type", "TXT",
     ])
 
+    return write_dataset_outputs(txt, images_dir, out_dir)
+
+
+def write_dataset_outputs(txt: Path, images_dir: Path, out_dir: Path) -> Path:
+    """Shared TXT-model -> (sparse ply + transforms.json) conversion used
+    by BOTH SfM drivers (colmap + hloc), so they emit identical dataset
+    metadata by construction."""
     ply_rel = None
     pts, cols = parse_points3d_txt(txt / "points3D.txt")
     if len(pts):
@@ -256,6 +263,8 @@ def run_colmap_sfm(
         write_ply(str(out_dir / "sparse_points.ply"), pts, colors=cols)
         ply_rel = "sparse_points.ply"
 
+    # A bare directory *name* only resolves when images_dir sits inside
+    # out_dir; fall back to the absolute path otherwise.
     images_rel = str(images_dir.relative_to(out_dir)) \
         if images_dir.is_relative_to(out_dir) else str(images_dir)
     out_path = out_dir / "transforms.json"

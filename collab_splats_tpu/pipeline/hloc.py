@@ -98,26 +98,11 @@ def _model_to_transforms(model, images_dir: Path, out_dir: Path) -> Path:
     """pycolmap.Reconstruction -> transforms.json (+ sparse ply).
 
     The model is dumped to COLMAP TXT and fed through the COLMAP driver's
-    converter (colmap.py::write_transforms_json) so both SfM tools emit
+    converter (colmap.py::write_dataset_outputs) so both SfM tools emit
     byte-identical dataset metadata."""
-    from .colmap import parse_points3d_txt, write_transforms_json
+    from .colmap import write_dataset_outputs
 
     txt = out_dir / "hloc" / "txt"
     txt.mkdir(parents=True, exist_ok=True)
     model.write_text(str(txt))
-
-    ply_rel: Optional[str] = None
-    pts, cols = parse_points3d_txt(txt / "points3D.txt")
-    if len(pts):
-        from ..data.ply import write_ply
-
-        write_ply(str(out_dir / "sparse_points.ply"), pts, colors=cols)
-        ply_rel = "sparse_points.ply"
-
-    # Same relative/absolute fallback as the COLMAP driver: a bare
-    # directory *name* only resolves when images_dir sits inside out_dir.
-    images_rel = str(images_dir.relative_to(out_dir)) \
-        if images_dir.is_relative_to(out_dir) else str(images_dir)
-    out_path = out_dir / "transforms.json"
-    write_transforms_json(txt, images_rel, out_path, ply_rel=ply_rel)
-    return out_path
+    return write_dataset_outputs(txt, images_dir, out_dir)

@@ -70,8 +70,11 @@ METHODS: Dict[str, MethodSpec] = {
         name="splatfacto",
         description="Vanilla splatting: RaDe-GS model without the "
         "depth-normal loss.",
+        # splatfacto is BY DEFINITION without the depth-normal loss; a
+        # user override of the key is dropped rather than raising a
+        # duplicate-kwarg TypeError.
         make_trainer_config=lambda **kw: _rade_gs_config(
-            use_depth_normal_loss=False, **kw
+            **{**kw, "use_depth_normal_loss": False}
         ),
         groups=optim.RADE_GS_GROUPS,
     ),
@@ -87,7 +90,7 @@ METHODS: Dict[str, MethodSpec] = {
         name="feature-splatting",
         description="Feature splatting without the depth-normal loss.",
         make_trainer_config=lambda **kw: _rade_features_config(
-            use_depth_normal_loss=False, **kw
+            **{**kw, "use_depth_normal_loss": False}
         ),
         groups=optim.RADE_FEATURES_GROUPS,
         has_features=True,

@@ -152,8 +152,8 @@ class Splatter:
         self.train(overwrite=overwrite, **self._training_config)
         print("[3/3] Meshing...")
         mesh_cfg = dict(self._meshing_config)
-        mesh_cfg.pop("mesher_type", None)
-        self.mesh(overwrite=overwrite, **mesh_cfg)
+        mesher_type = mesh_cfg.pop("mesher_type", "TSDFFusion")
+        self.mesh(overwrite=overwrite, mesher_type=mesher_type, **mesh_cfg)
         print("Pipeline complete.")
 
     # ---------------------------------------------------------- preprocess
@@ -177,7 +177,14 @@ class Splatter:
                 if dst.exists():
                     continue
                 if item.is_dir():
-                    shutil.copytree(item, dst)
+                    # Copy via a temp dir + rename so an interrupted copy
+                    # can't leave a partial directory that later resumes
+                    # silently skip.
+                    tmp = out / (item.name + ".tmp_copy")
+                    if tmp.exists():
+                        shutil.rmtree(tmp)
+                    shutil.copytree(item, tmp)
+                    tmp.rename(dst)
                 else:
                     shutil.copy2(item, dst)
             return out
@@ -300,6 +307,10 @@ class Splatter:
                 print(f"  resuming interrupted run at step {saved_step} "
                       f"({last})")
                 resume_run = last
+                # Continue toward the run's ORIGINAL target: leaving
+                # max_iterations unset here would rebuild the trainer
+                # config with the default and overwrite the saved goal.
+                max_iterations = target
             else:
                 print(f"  checkpoints exist, skipping ({self.model_dir})")
                 return last
@@ -311,6 +322,11 @@ class Splatter:
         )
 
         features = None
+        # Feature-only keys ride in every config (base.yaml); pop them
+        # for ALL methods so splatfacto/rade-gs don't crash on them.
+        feature_kw = {k: method_kwargs.pop(k) for k in
+                      ("feature_type", "extractors", "final_resolution")
+                      if k in method_kwargs}
         if spec.has_features:
             from ..features.datamanager import (
                 FeatureDatamanager,
@@ -319,11 +335,16 @@ class Splatter:
 
             fcfg = FeatureDatamanagerConfig(
                 cache_dir=str(self.config["output_path"] / "features"),
-                **{k: method_kwargs.pop(k) for k in
-                   ("feature_type", "extractors", "final_resolution")
-                   if k in method_kwargs},
+                **feature_kw,
             )
-            dm = FeatureDatamanager(dm, fcfg)
+            from ..data.dataparser import parse_transforms_json
+            scene_names = [
+                str(p) for p in parse_transforms_json(
+                    self.preproc_dir / "transforms.json",
+                    downscale_factor,
+                ).train_image_paths
+            ]
+            dm = FeatureDatamanager(dm, fcfg, image_names=scene_names)
             features = dm.train_features
             method_kwargs["feature_dims"] = tuple(
                 sorted(dm.feature_dims.items())
@@ -381,8 +402,9 @@ class Splatter:
         )
         if resume_run is not None:
             trainer.restore(ckpt_lib.latest_checkpoint(resume_run))
+        remaining = max(tconf.max_iterations - trainer.step, 0)
         trainer.train(
-            num_steps=max(tconf.max_iterations - trainer.step, 0),
+            num_steps=remaining,
             eval_cameras=dm.eval_cameras,
             eval_images=[
                 im.astype(np.float32) / 255.0 for im in dm.eval_images

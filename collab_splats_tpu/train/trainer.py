@@ -336,7 +336,10 @@ class Trainer:
         ``steps_per_eval_all_images``; results land in ``self.history``
         under ``eval_psnr`` / ``eval_all_psnr``.
         """
-        num_steps = num_steps or self.config.max_iterations
+        # `or` would turn an explicit 0 (already-complete resume) into a
+        # full extra default run.
+        if num_steps is None:
+            num_steps = self.config.max_iterations
         do_eval = eval_cameras is not None and len(eval_cameras) > 0
         t0 = time.time()
         for _ in range(num_steps):
