@@ -118,6 +118,9 @@ def main():
         return compile_s, (time.time() - t0) / reps
 
     fwd_compile, fwd_t = timeit(forward_loop)
+    spill = int(jax.block_until_ready(forward_loop(m, q, s, o, c))[1])
+    log(f"binning spill: {spill} (nonzero would understate work and "
+        "overstate pixels/s)")
     log(f"forward: compile+1st {fwd_compile:.1f}s, per-iter {fwd_t*1000:.2f}ms")
     bwd_compile, bwd_t = timeit(fwd_bwd_loop)
     log(f"fwd+bwd: compile+1st {bwd_compile:.1f}s, per-iter {bwd_t*1000:.2f}ms")

@@ -455,7 +455,14 @@ class Splatter:
             print(f"  mesh exists, skipping ({out})")
             from ..data.ply import read_ply
 
-            return read_ply(str(out / "mesh.ply"))
+            # Same result shape as a fresh exporter run ("vertices"/
+            # "faces"), not read_ply's raw "points" naming — callers must
+            # not see different keys on the idempotent re-run path.
+            ply = read_ply(str(out / "mesh.ply"))
+            result = {"vertices": ply["points"], "faces": ply.get("faces")}
+            if "colors" in ply:
+                result["colors"] = ply["colors"]
+            return result
 
         step, params, alive, spec, model_cfg = self.load_model()
         dm = FullImageDatamanager.from_transforms_json(

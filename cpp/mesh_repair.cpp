@@ -11,7 +11,6 @@
 
 #include <cmath>
 #include <cstdint>
-#include <cstring>
 #include <unordered_map>
 #include <vector>
 
@@ -102,8 +101,6 @@ int32_t boundary_edges(int32_t n_faces, const int32_t* faces,
 // Returns number of unique vertices.
 int32_t weld_vertices(int32_t n, const float* points, double inv_eps,
                       int32_t* out_remap) {
-  std::unordered_map<uint64_t, int32_t> seen;
-  seen.reserve(n);
   auto h = [](int64_t x, int64_t y, int64_t z) {
     uint64_t v = static_cast<uint64_t>(x) * 73856093ULL ^
                  static_cast<uint64_t>(y) * 19349663ULL ^

@@ -157,7 +157,7 @@ def convert_vgg16(sd: Dict, lpips_sd: Dict | None = None) -> Dict[str, np.ndarra
         bkey = key.replace("weight", "bias")
         out[f"conv{j}.w"] = _t(sd[key])
         out[f"conv{j}.b"] = _t(sd[bkey])
-    chans = [out[f"conv{j - 1}.w"].shape[0] for j in VGG16_STAGE_ENDS]
+    chans = [out[f"conv{j}.w"].shape[0] for j in VGG16_STAGE_ENDS]
     for i, c in enumerate(chans):
         if lpips_sd is not None:
             lin = _t(lpips_sd[f"lin{i}.model.1.weight"]).reshape(-1)

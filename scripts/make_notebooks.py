@@ -101,11 +101,15 @@ stand-in keeps the pipeline runnable.
     ("code", """\
 from collab_splats_tpu.pipeline.splatter import Splatter
 
+# Text queries need the rade-features head, so this notebook trains its
+# own short feature run (idempotent: re-running reuses the checkpoints).
 splatter = Splatter({
     "file_path": "/tmp/nb_demo/input",
     "method": "rade-features",
     "output_path": "/tmp/nb_demo/out_features",
 })
+splatter.preprocess()
+splatter.train(max_iterations=500, sh_degree=0)
 result = splatter.mesh(mesher_type="TSDFFusion", voxel_size=0.02,
                        depth_trunc=4.0, align_floor=False)
 print(len(result["vertices"]), "vertices", len(result["faces"]), "faces")

@@ -114,9 +114,12 @@ def main():
         d *= 2
     for nd in sizes:
         if jax.process_count() > 1:
-            mesh = pmesh.make_hybrid_mesh(
-                n_data_per_host=nd // jax.process_count() or 1
-            )
+            # make_hybrid_mesh always spans every local device (it cannot
+            # subset devices across hosts), so multi-process rows are only
+            # measurable at the full mesh size.
+            if nd != n_dev:
+                continue
+            mesh = pmesh.make_hybrid_mesh()
         else:
             mesh = pmesh.make_mesh(n_data=nd, n_gauss=1,
                                    devices=jax.devices()[:nd])

@@ -97,6 +97,10 @@ def main():
         jax.block_until_ready(loop(m, q, s, o, c))
         jax.profiler.stop_trace()
         paths = glob.glob(logdir + "/**/*.trace.json.gz", recursive=True)
+        if not paths:
+            print(f"no trace files produced under {logdir}; "
+                  "timing results above are still valid")
+            return
         with gzip.open(sorted(paths)[-1], "rt") as f:
             tr = json.load(f)
         events = tr.get("traceEvents", [])
