@@ -277,3 +277,33 @@ class TestOptimizerStateHygiene:
         grown_mu = np.asarray(new_leaves[0])
         np.testing.assert_array_equal(grown_mu[:c], old_mu)
         np.testing.assert_array_equal(grown_mu[c:], 0.0)
+
+
+class TestHostStreamedDataset:
+    def test_streaming_matches_device_cached(self):
+        """dataset_hbm_budget_bytes=0 keeps frames host-side; the training
+        trajectory must match the device-cached path exactly."""
+        gt, cams, images, cfg = _make_scene(n=100, n_cams=3, size=40)
+        init = dict(gt)
+        init["features_dc"] = jnp.zeros_like(gt["features_dc"])
+        capacity = 128
+        init = pad_to_capacity(init, capacity)
+        alive = jnp.arange(capacity) < gt["means"].shape[0]
+
+        def run(budget):
+            tconf = TrainerConfig(
+                model=cfg,
+                strategy=strategy.StrategyConfig(warmup_length=10_000_000),
+                max_iterations=20,
+                dataset_hbm_budget_bytes=budget,
+            )
+            tr = Trainer(tconf, cams, images, init, alive)
+            for _ in range(20):
+                m = tr.train_one_step()
+            return m["loss"], tr.params["means"]
+
+        loss_dev, means_dev = run(4 << 30)
+        loss_host, means_host = run(0)
+        assert float(loss_dev) == float(loss_host)
+        np.testing.assert_array_equal(np.asarray(means_dev),
+                                      np.asarray(means_host))
