@@ -268,3 +268,37 @@ class TestBatchedRender:
                 np.asarray(batch.depth[i]), np.asarray(single.depth),
                 atol=1e-4,
             )
+
+
+class TestRematPolicies:
+    def test_no_remat_compositing_gradient_parity(self):
+        """remat_compositing=False (store analytic-VJP residuals across the
+        chunk loop) must produce identical gradients to the remat default —
+        it is a memory/speed trade only (queued for a TPU A/B)."""
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.core.sh import sh0_to_rgb
+        from collab_splats_tpu.data.synthetic import (
+            orbit_cameras,
+            random_gaussian_params,
+        )
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        cam = orbit_cameras(1, radius=2.5, width=64, height=64,
+                            focal=70.0)[0]
+        p = random_gaussian_params(jax.random.PRNGKey(3), 500)
+        m = p["means"]; q = p["quats"]
+        s = jnp.exp(p["scales"])
+        o = jax.nn.sigmoid(p["opacities"][:, 0])
+        c = sh0_to_rgb(p["features_dc"])
+
+        def loss(mm, opts):
+            out, _ = render_tiled(mm, q, s, o, c, cam, opts)
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.depth)
+                    + jnp.sum(out.normal) + jnp.sum(out.median_depth))
+
+        opts_a = RenderOptions(tile_capacity=64, max_intersections=1 << 13)
+        import dataclasses
+        opts_b = dataclasses.replace(opts_a, remat_compositing=False)
+        ga = jax.jit(jax.grad(lambda mm: loss(mm, opts_a)))(m)
+        gb = jax.jit(jax.grad(lambda mm: loss(mm, opts_b)))(m)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
