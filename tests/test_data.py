@@ -142,3 +142,43 @@ class TestCheckpointNestedParams:
         np.testing.assert_array_equal(
             params2["decoder"]["hidden_w"], params["decoder"]["hidden_w"]
         )
+
+
+def test_odd_dimensions_downscale_consistency(tmp_path):
+    """Camera size must floor-divide exactly like load_image's resize —
+    odd dimensions with downscale previously produced a camera/image
+    shape mismatch that aborted training."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from collab_splats_tpu.data.dataparser import (
+        load_image,
+        parse_transforms_json,
+    )
+
+    w, h = 99, 77
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    frames = []
+    for i in range(3):
+        name = f"im{i}.png"
+        Image.fromarray(
+            np.random.RandomState(i).randint(0, 255, (h, w, 3), np.uint8)
+        ).save(img_dir / name)
+        frames.append({
+            "file_path": f"images/{name}",
+            "transform_matrix": np.eye(4).tolist(),
+            "w": w, "h": h, "fl_x": 80.0, "fl_y": 80.0,
+            "cx": w / 2, "cy": h / 2,
+        })
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump({"frames": frames}, f)
+
+    scene = parse_transforms_json(tmp_path / "transforms.json",
+                                  downscale_factor=2)
+    img = load_image(scene.train_image_paths[0], downscale_factor=2)
+    cam = scene.train_cameras[0]
+    assert (cam.height, cam.width) == img.shape[:2], (
+        (cam.height, cam.width), img.shape)
