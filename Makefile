@@ -7,8 +7,7 @@ test-fast:
 	python -m pytest tests/ -x -q -n 4
 
 lint:
-	python -m compileall -q collab_splats_tpu
-	ruff check collab_splats_tpu tests 2>/dev/null || true
+	bash scripts/lint.sh
 
 bench:
 	python bench.py
