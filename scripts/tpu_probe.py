@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--skip-forward", action="store_true")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="skip the fwd+bwd loop; --profile then traces the "
+                         "forward loop")
+    ap.add_argument("--no-remat-compositing", action="store_true",
+                    help="store analytic-VJP residuals across the chunk loop "
+                         "instead of rematting each chunk's forward")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +63,8 @@ def main():
     c = sh0_to_rgb(params["features_dc"])
     opts = RenderOptions(rasterize_mode="antialiased",
                          max_intersections=1 << 21, tile_capacity=512,
-                         backend="xla", exact_binning=False)
+                         backend="xla", exact_binning=False,
+                         remat_compositing=not args.no_remat_compositing)
 
     def render_sum(m, q, s, o, c):
         out, _ = render_tiled(m, q, s, o, c, camera, opts)
@@ -87,9 +94,11 @@ def main():
               f"per-iter {per * 1000:.2f} ms", flush=True)
         return fn
 
+    loop = None
     if not args.skip_forward:
-        timeit("forward", fwd_loop)
-    loop = timeit("fwd+bwd", step_loop)
+        loop = timeit("forward", fwd_loop)
+    if not args.forward_only:
+        loop = timeit("fwd+bwd", step_loop)
 
     if args.profile:
         logdir = "/tmp/tpu_probe_trace"
