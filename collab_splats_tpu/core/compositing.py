@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # Per-splat alpha handling, matching gsplat's rasterizer:
 ALPHA_CUTOFF = 1.0 / 255.0   # contributions below this are skipped
@@ -209,7 +210,16 @@ def _composite_chunk_fwd(alphas, tpix, values):
     k_iota = jax.lax.broadcasted_iota(jnp.int32, alphas.shape, alphas.ndim - 1)
     median = jnp.sum(jnp.where(k_iota == idx[..., None], tpix, 0.0), axis=-1)
     median = jnp.where(alpha_out > 0.0, median, 0.0)
-    res = (alphas, tpix, values, idx, t_excl, t_total)
+    # Name every backward residual so a `save_only_these_names` checkpoint
+    # policy (RenderOptions.remat_compositing=False) can pin exactly these
+    # across the chunk loop: the backward then skips the forward replay of
+    # the exp pass, the transmittance scan, and the median selection, while
+    # cheap slice/du/dv math is still recomputed.  Under the default full
+    # remat (policy-less jax.checkpoint) the names are inert.
+    res = tuple(
+        checkpoint_name(r, "composite_residuals")
+        for r in (alphas, tpix, values, idx, t_excl, t_total)
+    )
     return (out_v, alpha_out, depth_acc, median), res
 
 

@@ -41,9 +41,12 @@ class RenderOptions:
 
     # Backward-pass memory policy for the XLA compositor's chunk loop:
     # True remats each chunk (recomputes alphas/depths in the backward,
-    # minimal memory); False stores the analytic-VJP residuals across the
-    # whole loop (~100 MB per 64-tile chunk at capacity 512 — trades HBM
-    # for skipping the forward replay).
+    # minimal memory); False pins the named analytic-VJP residuals
+    # (alphas/tpix/values/idx/t_excl/t_total, ~5.4 GB at 1M/720p) across
+    # the loop via a save_only_these_names checkpoint policy — the backward
+    # then skips the exp pass, transmittance scan, and median selection
+    # replay.  (A fully un-checkpointed loop keeps every [T,P,K]
+    # intermediate live — measured 24.2 GB, an HBM OOM on v5e.)
     remat_compositing: bool = True
 
     # Remat the projection -> packed-per-gaussian chain: AD otherwise saves

@@ -467,7 +467,21 @@ def render_from_projections(
         return color, alpha_out, depth_out, median, normal
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * tile_chunk
-    body = jax.checkpoint(chunk_body) if opts.remat_compositing else chunk_body
+    if opts.remat_compositing:
+        body = jax.checkpoint(chunk_body)
+    else:
+        # Pin exactly the analytic-VJP residuals (named in
+        # core/compositing._composite_chunk_fwd) across the loop; everything
+        # else is still rematted.  An un-checkpointed body keeps EVERY
+        # [T,P,K] intermediate (du/dv/sigma/scan stages) live between the
+        # forward and backward loops — measured 24.2 GB at 1M/720p, an HBM
+        # OOM on v5e — while the named residuals are ~5.4 GB.
+        body = jax.checkpoint(
+            chunk_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "composite_residuals"
+            ),
+        )
     color, alpha, depth, median, normal = jax.lax.map(body, starts)
 
     def stitch(x):
