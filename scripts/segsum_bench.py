@@ -74,7 +74,119 @@ def main():
         g = _bwd_transposed(n, idx, ct)
         return jnp.dot(wn, jnp.sum(g, axis=1))
 
-    variants = {"v0": v0, "v1": v1, "v3": v3, "v4": v4}
+    # --- isolation variants: where do v3's extra ~61 ms (over v0) go? ---
+    from collab_splats_tpu.core.compositing import cumsum_mxu
+
+    def _sorted_parts(idx, ct):
+        out = jax.lax.sort(
+            (idx,) + tuple(ct[:, j] for j in range(d)), num_keys=1)
+        return out[0], out[1:]
+
+    def v5(idx, ct):
+        # sort + TRANSPOSED [D, M] blocked-MXU cumsum (no [M, D] stack).
+        sidx, parts = _sorted_parts(idx, ct)
+        cts_t = jnp.stack(parts, axis=0)              # [D, M] row-contig
+        csum_t = cumsum_mxu(cts_t)
+        return (jnp.dot(csum_t.sum(axis=0), wm)
+                + jnp.sum(sidx).astype(jnp.float32) * 1e-9)
+
+    def v6(idx, ct):
+        # v5 + searchsorted boundaries.
+        sidx, parts = _sorted_parts(idx, ct)
+        cts_t = jnp.stack(parts, axis=0)
+        csum_t = cumsum_mxu(cts_t)
+        hi = jnp.searchsorted(
+            sidx, jnp.arange(n, dtype=jnp.int32), side="right", method="sort"
+        ).astype(jnp.int32)
+        return (jnp.dot(csum_t.sum(axis=0), wm)
+                + jnp.sum(hi).astype(jnp.float32) * 1e-9)
+
+    def v7(idx, ct):
+        # full backward: transposed-MXU cumsum + transpose-back + row gather.
+        sidx, parts = _sorted_parts(idx, ct)
+        cts_t = jnp.stack(parts, axis=0)
+        csum_t = cumsum_mxu(cts_t)
+        csum = jnp.concatenate(
+            [jnp.zeros((d, 1), ct.dtype), csum_t], axis=1).T   # [M+1, D]
+        hi = jnp.searchsorted(
+            sidx, jnp.arange(n, dtype=jnp.int32), side="right", method="sort"
+        ).astype(jnp.int32)
+        a = csum[hi]
+        g = a - jnp.concatenate([jnp.zeros((1, d), ct.dtype), a[:-1]])
+        return jnp.dot(wn, jnp.sum(g, axis=1))
+
+    def v8(idx, ct):
+        # boundary row-gather alone: monotone hi into a fixed [M+1, D].
+        csum = jnp.concatenate([jnp.zeros((1, d), ct.dtype), ct], axis=0)
+        hi = jnp.sort(jax.random.randint(
+            jax.random.PRNGKey(1), (n,), 0, m, dtype=jnp.int32))
+        hi = hi + idx[:n] * 0   # depend on idx so roll-perturbation sticks
+        a = csum[hi]
+        g = a - jnp.concatenate([jnp.zeros((1, d), ct.dtype), a[:-1]])
+        return jnp.dot(wn, jnp.sum(g, axis=1))
+
+    def _csum_md(parts):
+        # [M, D] inclusive prefix along axis 0: 512-blocked triangular
+        # matmul on the MXU (no [M, D]-layout reduce-window, no transpose).
+        cts = jnp.stack(parts, axis=1)                # [M, D]
+        b = 512
+        nb = m // b
+        iota = jnp.arange(b)
+        tri = (iota[:, None] >= iota[None, :]).astype(cts.dtype)
+        xb = cts.reshape(nb, b, d)
+        inner = jnp.einsum("ij,bjd->bid", tri, xb,
+                           precision=jax.lax.Precision.HIGHEST)
+        tot = jnp.sum(xb, axis=1)                     # [nb, d]
+        pref = jnp.cumsum(tot, axis=0) - tot
+        return (inner + pref[:, None, :]).reshape(m, d)
+
+    def _hi_scatter(sidx):
+        # hi[g] = #entries <= g, via scatter-max of (position+1) keyed by
+        # gid + a forward-fill cummax over [N] (binning's inversion trick;
+        # replaces searchsorted's concat-sort + extraction gather).
+        pos1 = jnp.arange(1, m + 1, dtype=jnp.int32)
+        h = jnp.zeros((n,), jnp.int32).at[sidx].max(pos1, mode="drop")
+        return jax.lax.associative_scan(jnp.maximum, h)
+
+    def v10(idx, ct):
+        # full backward: axis-0 MXU scan in [M, D] + searchsorted + v8 gather.
+        sidx, parts = _sorted_parts(idx, ct)
+        csum = jnp.concatenate(
+            [jnp.zeros((1, d), ct.dtype), _csum_md(parts)], axis=0)
+        hi = jnp.searchsorted(
+            sidx, jnp.arange(n, dtype=jnp.int32), side="right", method="sort"
+        ).astype(jnp.int32)
+        a = csum[hi]
+        g = a - jnp.concatenate([jnp.zeros((1, d), ct.dtype), a[:-1]])
+        return jnp.dot(wn, jnp.sum(g, axis=1))
+
+    def v11(idx, ct):
+        # sort + scatter-max/cummax hi (no cumsum; isolates hi cost).
+        sidx, parts = _sorted_parts(idx, ct)
+        hi = _hi_scatter(sidx)
+        return (sum(jnp.dot(o, wm) for o in parts)
+                + jnp.sum(hi).astype(jnp.float32) * 1e-9)
+
+    def v12(idx, ct):
+        # full backward: axis-0 MXU scan + scatter-max hi + monotone gather.
+        sidx, parts = _sorted_parts(idx, ct)
+        csum = jnp.concatenate(
+            [jnp.zeros((1, d), ct.dtype), _csum_md(parts)], axis=0)
+        hi = _hi_scatter(sidx)
+        a = csum[hi]
+        g = a - jnp.concatenate([jnp.zeros((1, d), ct.dtype), a[:-1]])
+        return jnp.dot(wn, jnp.sum(g, axis=1))
+
+    def v9(idx, ct):
+        # bf16 payload sort (halved sort bytes), f32 downstream.
+        ctb = ct.astype(jnp.bfloat16)
+        out = jax.lax.sort(
+            (idx,) + tuple(ctb[:, j] for j in range(d)), num_keys=1)
+        return sum(jnp.dot(o.astype(jnp.float32), wm) for o in out[1:])
+
+    variants = {"v0": v0, "v1": v1, "v3": v3, "v4": v4, "v5": v5,
+                "v6": v6, "v7": v7, "v8": v8, "v9": v9, "v10": v10,
+                "v11": v11, "v12": v12}
     names = sys.argv[1:] or list(variants)
 
     def bench(name, fn):
