@@ -62,8 +62,7 @@ def main():
     lines = txt.splitlines()
     for want in names:
         pat = re.compile(r"%?" + re.escape(want) + r"\b[^=]*=")
-        hits = [i for i, ln in enumerate(lines) if pat.search(ln)
-                and "metadata" in ln or pat.search(ln)]
+        hits = [i for i, ln in enumerate(lines) if pat.search(ln)]
         shown = 0
         for i in hits:
             ln = lines[i].strip()

@@ -99,7 +99,7 @@ def main():
             sidx, jnp.arange(n, dtype=jnp.int32), side="right", method="sort"
         ).astype(jnp.int32)
         return (jnp.dot(csum_t.sum(axis=0), wm)
-                + jnp.sum(hi).astype(jnp.float32) * 1e-9)
+                + jnp.sum(hi.astype(jnp.float32)) * 1e-9)
 
     def v7(idx, ct):
         # full backward: transposed-MXU cumsum + transpose-back + row gather.
@@ -120,7 +120,11 @@ def main():
         csum = jnp.concatenate([jnp.zeros((1, d), ct.dtype), ct], axis=0)
         hi = jnp.sort(jax.random.randint(
             jax.random.PRNGKey(1), (n,), 0, m, dtype=jnp.int32))
-        hi = hi + idx[:n] * 0   # depend on idx so roll-perturbation sticks
+        # Depend on idx so roll-perturbation sticks; `* 0` would be folded
+        # by XLA's algebraic simplifier, so gate on an always-false
+        # data-dependent predicate instead (values are >= 0 by construction,
+        # which the compiler cannot prove).
+        hi = jnp.where(idx[:n] < 0, hi + idx[:n], hi)
         a = csum[hi]
         g = a - jnp.concatenate([jnp.zeros((1, d), ct.dtype), a[:-1]])
         return jnp.dot(wn, jnp.sum(g, axis=1))
@@ -165,7 +169,7 @@ def main():
         sidx, parts = _sorted_parts(idx, ct)
         hi = _hi_scatter(sidx)
         return (sum(jnp.dot(o, wm) for o in parts)
-                + jnp.sum(hi).astype(jnp.float32) * 1e-9)
+                + jnp.sum(hi.astype(jnp.float32)) * 1e-9)
 
     def v12(idx, ct):
         # full backward: axis-0 MXU scan + scatter-max hi + monotone gather.
