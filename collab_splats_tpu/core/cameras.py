@@ -80,6 +80,25 @@ class Camera:
             height=int(round(self.height * scale)),
         )
 
+    def downscaled(self, factor: int) -> "Camera":
+        """Integer-factor downscale with floor-division sizes.
+
+        Matches the progressive-resolution semantics of Splatfacto's
+        ``rescale_output_resolution`` as used by the reference's
+        ``_get_downscale_factor`` (rade_gs_model.py:132): sizes floor-divide
+        so the downscaled image (average-pooled with a ``factor``-wide
+        kernel) and the camera agree exactly even for odd dimensions.
+        """
+        if factor <= 1:
+            return self
+        K = self.K.at[:2].multiply(1.0 / factor)
+        return dataclasses.replace(
+            self,
+            K=K,
+            width=self.width // factor,
+            height=self.height // factor,
+        )
+
 
 def make_camera(
     fx: float,

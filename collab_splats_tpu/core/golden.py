@@ -98,11 +98,12 @@ def render_golden(
     norms = normal_cam[order]
 
     ts = opts.tile_size
-    # Gaussian tile bbox (inclusive): floor((mean2d +- radius) / ts), the
-    # membership rule the production binning applies (ops/tiles.tile_bbox
-    # additionally clamps to the grid, which is membership-equivalent for
-    # on-screen pixels); kept unclamped here so the golden renderer stays
-    # a one-formula spec.
+    # Gaussian tile bbox (inclusive): floor((mean2d +- radius) / ts) with
+    # the max-eigenvalue square radius.  Production binning
+    # (ops/tiles.tile_bbox) uses the tighter per-axis radius_xy — a strict
+    # subset whose excluded tiles contribute exactly zero (alpha cutoff),
+    # so the golden's wider membership renders identically and stays a
+    # one-formula spec.
     tx0 = jnp.floor((mean2d[:, 0] - radius) / ts)
     ty0 = jnp.floor((mean2d[:, 1] - radius) / ts)
     tx1 = jnp.floor((mean2d[:, 0] + radius) / ts)

@@ -56,6 +56,7 @@ class Projection(NamedTuple):
     plane: jax.Array         # [N, 2] RaDe depth-plane gradient (d t / d pixel)
     normal: jax.Array        # [N, 3] camera-space unit normal, camera-facing
     valid: jax.Array         # [N] bool visibility mask
+    radius_xy: jax.Array     # [N, 2] per-axis bbox half-extents (<= radius)
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -197,10 +198,24 @@ def project_gaussians(
 
     mean2d = jnp.stack([fx * x * rz + cx, fy * y * rz + cy], axis=-1)
 
-    # Screen radius from the larger eigenvalue of the blurred covariance.
+    # Screen radius from the larger eigenvalue of the blurred covariance
+    # (gsplat's square-bbox radius, kept for strategy statistics and
+    # screen-size culling parity).
     mid = 0.5 * (a + c)
     eig_max = mid + jnp.sqrt(jnp.clip(mid * mid - det, 0.01, None))
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.clip(eig_max, 0.0, None)))
+    # Per-axis bbox half-extents for tile binning: the alpha-cutoff region
+    # {alpha >= 1/255} is the ellipse sigma <= ln(255); its exact axis-
+    # aligned extents are sqrt(2 ln 255) * sqrt(cov_uu | cov_vv) ~= 3.33
+    # standard deviations per axis.  Everything outside contributes exactly
+    # 0 (splat_alpha's cutoff), so binning with (rx, ry) instead of the
+    # max-eigenvalue square renders bit-identically while generating far
+    # fewer tile intersections for anisotropic splats.  min() with the
+    # square radius keeps the kept-set a subset of gsplat's (3-sigma) bbox.
+    cut = 3.3291  # sqrt(2 ln 255)
+    rx = jnp.ceil(jnp.minimum(cut * jnp.sqrt(jnp.clip(a, 0.0, None)), radius))
+    ry = jnp.ceil(jnp.minimum(cut * jnp.sqrt(jnp.clip(c, 0.0, None)), radius))
+    radius_xy = jnp.stack([rx, ry], axis=-1)
 
     # RaDe depth plane: Sigma'_{uv,t} = J @ (Sigma_c e_z); plane = conic_raw @ it.
     # Use the *blurred* inverse for numerical stability — the blur flattens
@@ -232,6 +247,7 @@ def project_gaussians(
     valid = in_depth & ok_det & on_screen & (radius > radius_clip)
 
     radius = jnp.where(valid, radius, 0.0)
+    radius_xy = jnp.where(valid[:, None], radius_xy, 0.0)
     return Projection(
         mean2d=mean2d,
         depth=z,
@@ -241,4 +257,5 @@ def project_gaussians(
         plane=plane,
         normal=n,
         valid=valid,
+        radius_xy=radius_xy,
     )

@@ -104,12 +104,16 @@ def _expand_bwd(n, idx, ct):
         [jnp.zeros((1, d), ct.dtype), csum], axis=0
     )                                                 # [M+1, D]; csum[k] = sum of first k
     # hi[g] = #entries <= g.  The segment sum is csum[hi[g]] - csum[lo[g]]
-    # with lo[g] = #entries < g = hi[g-1], so after ONE monotone row gather
-    # A = csum[hi] the lo term is just A shifted by one row — no second
-    # gather, no scatter anywhere.
-    hi = jnp.searchsorted(
-        sidx, jnp.arange(n, dtype=jnp.int32), side="right", method="sort"
-    ).astype(jnp.int32)
+    # with lo[g] = hi[g-1], so after ONE monotone row gather A = csum[hi]
+    # the lo term is just A shifted by one row — no second gather.
+    # hi itself comes from a scatter-max of (position+1) keyed by the
+    # sorted gid plus a forward-fill cummax (the binning inversion trick):
+    # measured ~19 ms vs ~25 ms for searchsorted(method="sort"), whose
+    # internal concat-sort re-sorts M+N keys (scripts/segsum_bench.py
+    # v11/v12 vs v6/v10).
+    pos1 = jnp.arange(1, sidx.shape[0] + 1, dtype=jnp.int32)
+    hi = jnp.zeros((n,), jnp.int32).at[sidx].max(pos1, mode="drop")
+    hi = jax.lax.associative_scan(jnp.maximum, hi)
     a = csum[hi]                                      # [N, D]
     grad_table = a - jnp.concatenate([jnp.zeros((1, d), ct.dtype), a[:-1]])
     return grad_table, None

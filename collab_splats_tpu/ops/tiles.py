@@ -140,13 +140,20 @@ def windowed_gather(src: jax.Array, starts: jax.Array, k_cap: int,
 
 
 def tile_bbox(proj: Projection, num_tiles_x: int, num_tiles_y: int, tile_size: int):
-    """Inclusive tile-coordinate bbox per Gaussian, clamped to the grid."""
+    """Inclusive tile-coordinate bbox per Gaussian, clamped to the grid.
+
+    Uses the per-axis half-extents ``radius_xy`` (core/projection.py): the
+    exact axis-aligned bounds of the alpha >= 1/255 ellipse, so the bbox is
+    tighter than gsplat's max-eigenvalue square for anisotropic splats with
+    bit-identical rendering (outside contributions are zeroed by
+    ``splat_alpha``'s cutoff anyway)."""
     u, v = proj.mean2d[:, 0], proj.mean2d[:, 1]
-    r = proj.radius
-    tx0 = jnp.clip(jnp.floor((u - r) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((v - r) / tile_size), 0, num_tiles_y - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((u + r) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((v + r) / tile_size), 0, num_tiles_y - 1).astype(jnp.int32)
+    rx = proj.radius_xy[:, 0]
+    ry = proj.radius_xy[:, 1]
+    tx0 = jnp.clip(jnp.floor((u - rx) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((v - ry) / tile_size), 0, num_tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((u + rx) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((v + ry) / tile_size), 0, num_tiles_y - 1).astype(jnp.int32)
     return tx0, ty0, tx1, ty1
 
 

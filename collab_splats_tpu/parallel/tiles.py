@@ -50,6 +50,20 @@ def band_rows(height: int, tile_size: int, n_bands: int) -> int:
     return nty // n_bands
 
 
+class RouteInfo(NamedTuple):
+    """Send-side slab layout of one :func:`route_to_bands` call.
+
+    Lets callers route *computed statistics* back to the source shards with
+    the reverse ``all_to_all`` (used by the tile-sharded train step's
+    densification statistics): received slab row ``band * send_cap + slot``
+    on band owner ``band`` came from local Gaussian ``slot_gid[band, slot]``
+    on this device (valid where ``slot_valid``).
+    """
+
+    slot_gid: jax.Array    # [n_bands, send_cap] local gaussian index
+    slot_valid: jax.Array  # [n_bands, send_cap] bool
+
+
 def route_to_bands(
     proj: Projection,
     extras: jax.Array,
@@ -57,7 +71,7 @@ def route_to_bands(
     tile_size: int,
     n_bands: int,
     send_cap: int,
-) -> Tuple[Projection, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[Projection, jax.Array, jax.Array, jax.Array, RouteInfo]:
     """Inside shard_map: route local projections to band owners.
 
     Args:
@@ -69,15 +83,16 @@ def route_to_bands(
 
     Returns:
         (proj_recv [G*S] with band-local v coordinates, extras_recv
-        [G*S, E], valid_recv [G*S] bool, spilled [] int32).
+        [G*S, E], valid_recv [G*S] bool, spilled [] int32, RouteInfo).
     """
     rows = band_rows(height, tile_size, n_bands)
     band_px = rows * tile_size
     n = proj.depth.shape[0]
 
-    # Band overlap from the screen-space bbox.
+    # Band overlap from the screen-space bbox (per-axis vertical extent,
+    # consistent with ops/tiles.tile_bbox's ry-based membership).
     v = proj.mean2d[:, 1]
-    r = proj.radius
+    r = proj.radius_xy[:, 1]
     b0 = jnp.clip(jnp.floor((v - r) / band_px), 0, n_bands - 1).astype(jnp.int32)
     b1 = jnp.clip(jnp.floor((v + r) / band_px), 0, n_bands - 1).astype(jnp.int32)
 
@@ -88,7 +103,7 @@ def route_to_bands(
     flat = jnp.concatenate(
         [
             proj.mean2d, proj.depth[:, None], proj.conic, proj.radius[:, None],
-            proj.compensation[:, None], proj.plane,
+            proj.compensation[:, None], proj.plane, proj.radius_xy,
             extras,
         ],
         axis=1,
@@ -143,9 +158,12 @@ def route_to_bands(
         plane=recv[:, 8:10],
         normal=jnp.zeros((recv.shape[0], 3), recv.dtype),
         valid=valid_recv,
+        radius_xy=recv[:, 10:12],
     )
-    extras_recv = recv[:, 10:d]
-    return proj_recv, extras_recv, valid_recv, spilled
+    extras_recv = recv[:, 12:d]
+    return proj_recv, extras_recv, valid_recv, spilled, RouteInfo(
+        slot_gid=slot_gid, slot_valid=slot_valid
+    )
 
 
 def render_tile_sharded(
@@ -157,10 +175,17 @@ def render_tile_sharded(
     n_bands: int,
     send_cap: int,
     normal_cam: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
 ):
     """Inside shard_map over the gauss axis: full-image render with routed,
     band-local compositing.  Returns (RenderOutput with full-image maps —
-    identical on every gauss-axis member — and the routing spill count).
+    identical on every gauss-axis member — the band-local RenderMeta, and
+    the :class:`RouteInfo` for routing statistics back to source shards).
+
+    ``absgrad_sink`` (optional) is the per-(band-tile, splat) zero sink of
+    shape ``absgrad_sink_shape(width, band_px, n_bands * send_cap, opts)``;
+    its cotangent indexes the *received slab* via ``meta.bins.tile_gauss``
+    (see parallel/train.py's tile-sharded statistics path).
 
     ``camera.height`` must make the tile grid divisible into ``n_bands``
     (pad upstream if needed).
@@ -171,7 +196,7 @@ def render_tile_sharded(
     if normal_cam is None:
         normal_cam = proj.normal
     extras = jnp.concatenate([opac[:, None], colors, normal_cam], axis=1)
-    proj_b, extras_b, valid_b, spilled = route_to_bands(
+    proj_b, extras_b, valid_b, spilled, route = route_to_bands(
         proj, extras, camera.height, ts, n_bands, send_cap
     )
     c_dim = colors.shape[1]
@@ -183,7 +208,8 @@ def render_tile_sharded(
         K=camera.K, c2w=camera.c2w, width=camera.width, height=band_px
     )
     out, meta = render_from_projections(
-        proj_b, opac_b, colors_b, normal_b, band_cam, opts
+        proj_b, opac_b, colors_b, normal_b, band_cam, opts,
+        absgrad_sink=absgrad_sink,
     )
 
     # Stitch bands to the full image on every member (pixels are tiny
@@ -197,4 +223,4 @@ def render_tile_sharded(
         normal=gather(out.normal)[: camera.height],
         spilled=jax.lax.psum(out.spilled, GAUSS_AXIS) + spilled,
     )
-    return full, meta
+    return full, meta, route

@@ -69,6 +69,8 @@ def make_sharded_train_step(
     capacity: int,
     opt_state_template,
     reg_active: bool = False,
+    tile_sharded: bool = False,
+    send_cap: int | None = None,
 ):
     """Build the jitted sharded train step.
 
@@ -81,6 +83,19 @@ def make_sharded_train_step(
         opt_state_template: an opt state (or jax.eval_shape of it) used to
             derive the sharding spec pytree.
         reg_active: static depth-normal phase flag.
+        tile_sharded: route projected Gaussians to per-device tile *bands*
+            with one ``all_to_all`` (parallel/tiles.py) instead of
+            all-gathering the full projection set — per-device compositing
+            buffers become O(C/G + G*send_cap) instead of O(C).  Requires
+            the padded tile grid to split into ``G`` bands (see
+            ``tiles.band_rows``).  Densification statistics are computed
+            per (band-tile, splat) exactly as in the all-gather path and
+            routed back to the owning shard with the reverse all_to_all.
+        send_cap: per-(source device, band) routing slab capacity S for the
+            tile-sharded path; defaults to the shard size C/G (never drops
+            a Gaussian).  Production pods shrink it toward the expected
+            per-band overlap count; overflow drops the farthest Gaussians
+            and is counted in the ``spilled`` metric.
 
     Returns:
         step(params, alive, opt_state, strat_state, cams: CameraBatch,
@@ -95,6 +110,11 @@ def make_sharded_train_step(
     shard = capacity // n_gauss
     cfg = model_config
     opts = cfg.render
+    if tile_sharded:
+        from .tiles import band_rows
+
+        s_cap = send_cap or shard
+        band_px = band_rows(height, opts.tile_size, n_gauss) * opts.tile_size
 
     params_spec = {
         k: P(GAUSS_AXIS) for k in
@@ -137,8 +157,72 @@ def make_sharded_train_step(
         data_idx = jax.lax.axis_index(DATA_AXIS)
         bg_key = jax.random.fold_in(key, data_idx)
         viewmat = camera.viewmat()
-        sink_shape = absgrad_sink_shape(width, height, capacity, opts)
+        if tile_sharded:
+            sink_shape = absgrad_sink_shape(
+                width, band_px, n_gauss * s_cap, opts
+            )
+        else:
+            sink_shape = absgrad_sink_shape(width, height, capacity, opts)
         sink = jnp.zeros(sink_shape, jnp.float32)
+
+        def _image_loss(out):
+            """Loss + outputs from full-image maps (shared by both paths)."""
+            bg = rade_gs.background_color(cfg, bg_key, True)
+            rgb = jnp.clip(
+                out.color[..., :3] + (1.0 - out.alpha[..., None]) * bg,
+                0.0, 1.0,
+            )
+            outputs = {"rgb": rgb, "spilled": out.spilled}
+            loss = losses.rgb_loss(rgb, image, cfg.ssim_lambda)
+            if reg_active and cfg.use_depth_normal_loss:
+                from ..core.cameras import depth_pair_to_normal
+
+                has_hit = out.alpha > 0.0
+                bf = lambda x: jnp.where(
+                    has_hit, x, jax.lax.stop_gradient(jnp.max(x))
+                )
+                dn = depth_pair_to_normal(
+                    camera, bf(out.depth), bf(out.median_depth)
+                )
+                err = 1.0 - jnp.sum(out.normal[None] * dn, axis=-1)
+                outputs["depth_normal_error_map"] = err[0][..., None]
+                outputs["middepth_normal_error_map"] = err[1][..., None]
+                loss = loss + losses.depth_normal_loss(
+                    outputs["depth_normal_error_map"],
+                    outputs["middepth_normal_error_map"],
+                    cfg.depth_ratio, cfg.depth_normal_lambda,
+                )
+            return loss, outputs
+
+        def loss_fn_routed(p, snk):
+            from .tiles import render_tile_sharded
+
+            colors = rade_gs.compute_colors(p, camera, step_idx, cfg)
+            opac = jax.nn.sigmoid(p["opacities"][:, 0]) * alive
+
+            def _proj(means, quats, scales):
+                return project_gaussians(
+                    means, quats, scales, viewmat, camera.K, width, height,
+                    eps2d=opts.eps2d, near_plane=opts.near_plane,
+                    far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+                )
+
+            proj = jax.checkpoint(_proj)(
+                p["means"], p["quats"], jnp.exp(p["scales"])
+            )
+            if opts.rasterize_mode == "antialiased":
+                opac = opac * proj.compensation
+            out, meta, route = render_tile_sharded(
+                proj, opac, colors, camera, opts, n_gauss, s_cap,
+                absgrad_sink=snk,
+            )
+            loss, outputs = _image_loss(out)
+            # The full-image maps (and hence this loss) are replicated on
+            # every gauss-axis member; scaling by 1/G makes the transposed
+            # collectives (reduce-scatter of the band all_gather, reverse
+            # all_to_all of the routing) sum member cotangents to exactly
+            # the unsharded gradient.  Metrics un-scale below.
+            return loss / n_gauss, (outputs, meta, route, proj)
 
         def loss_fn(p, snk):
             colors = rade_gs.compute_colors(p, camera, step_idx, cfg)
@@ -164,7 +248,8 @@ def make_sharded_train_step(
                 per_gauss = pack_per_gauss(pj, op, pj.normal, colors)
                 binpack = jnp.concatenate(
                     [pj.mean2d, pj.depth[:, None], pj.radius[:, None],
-                     pj.valid[:, None].astype(jnp.float32)], axis=1,
+                     pj.valid[:, None].astype(jnp.float32),
+                     pj.radius_xy], axis=1,
                 )
                 return per_gauss, jax.lax.stop_gradient(binpack)
 
@@ -177,7 +262,7 @@ def make_sharded_train_step(
             per_gauss_full = gather(per_gauss)
             bp = gather(binpack)
             # Minimal Projection view for binning + strategy statistics
-            # (bin_gaussians reads mean2d/depth/radius/valid only; conic/
+            # (bin_gaussians reads mean2d/depth/radius_xy/valid only; conic/
             # plane/normal ride inside per_gauss).
             zeros2 = jnp.zeros((bp.shape[0], 2), jnp.float32)
             proj_full = Projection(
@@ -188,43 +273,38 @@ def make_sharded_train_step(
                 plane=zeros2,
                 normal=jnp.zeros((bp.shape[0], 3), jnp.float32),
                 valid=bp[:, 4] > 0.5,
+                radius_xy=bp[:, 5:7],
             )
 
             out, meta = render_from_projections(
                 proj_full, None, None, None, camera, opts,
                 absgrad_sink=snk, per_gauss=per_gauss_full,
             )
-            bg = rade_gs.background_color(cfg, bg_key, True)
-            rgb = jnp.clip(
-                out.color[..., :3] + (1.0 - out.alpha[..., None]) * bg, 0.0, 1.0
-            )
-            outputs = {"rgb": rgb, "spilled": out.spilled}
-            if reg_active and cfg.use_depth_normal_loss:
-                from ..core.cameras import depth_pair_to_normal
-
-                has_hit = out.alpha > 0.0
-                bf = lambda x: jnp.where(
-                    has_hit, x, jax.lax.stop_gradient(jnp.max(x))
-                )
-                dn = depth_pair_to_normal(
-                    camera, bf(out.depth), bf(out.median_depth)
-                )
-                err = 1.0 - jnp.sum(out.normal[None] * dn, axis=-1)
-                outputs["depth_normal_error_map"] = err[0][..., None]
-                outputs["middepth_normal_error_map"] = err[1][..., None]
-
-            loss = losses.rgb_loss(rgb, image, cfg.ssim_lambda)
-            if reg_active and cfg.use_depth_normal_loss:
-                loss = loss + losses.depth_normal_loss(
-                    outputs["depth_normal_error_map"],
-                    outputs["middepth_normal_error_map"],
-                    cfg.depth_ratio, cfg.depth_normal_lambda,
-                )
+            loss, outputs = _image_loss(out)
             return loss, (outputs, meta)
 
-        (loss, (outputs, meta)), (pgrads, sink_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, sink)
+        if tile_sharded:
+            (loss, (outputs, meta, route, proj_local)), (pgrads, sink_grad) = \
+                jax.value_and_grad(
+                    loss_fn_routed, argnums=(0, 1), has_aux=True
+                )(params, sink)
+            loss = loss * n_gauss   # un-scale the replication correction
+        else:
+            (loss, (outputs, meta)), (pgrads, sink_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, sink)
+
+        # Dead rows must not update: the segment-sum gradient reduction's
+        # prefix-difference rounding (ops/segsum.py precision note) can
+        # leave ~1e-9 noise on never-rendered rows, which Adam's
+        # normalization amplifies to a full-lr drift.  Zero them exactly.
+        amask = alive.astype(jnp.float32)
+        pgrads = {
+            k: g * amask.reshape((-1,) + (1,) * (g.ndim - 1))
+            if hasattr(g, "ndim") and g.ndim >= 1 and g.shape[0] == shard
+            else g
+            for k, g in pgrads.items()
+        }
 
         # Camera-parallel gradient all-reduce (mean over the data axis).
         n_data = jax.lax.axis_size(DATA_AXIS)
@@ -235,32 +315,77 @@ def make_sharded_train_step(
         updates, opt_state = optimizer.update(pgrads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
 
-        # Densification statistics: full-C scatter, psum over data, reslice.
-        idx = meta.bins.tile_gauss.reshape(-1)
-        msk = meta.bins.tile_mask.reshape(-1)
-        g = jnp.where(msk[:, None], jnp.abs(sink_grad).reshape(-1, 2), 0.0)
-        # Collision-free scatter indices (masked contributions zeroed) and
-        # both columns in one row scatter — see ops/segsum.spread_masked.
-        sidx = spread_masked(idx, msk, capacity)
-        guv = jnp.zeros((capacity, 2), jnp.float32).at[sidx].add(g, mode="drop")
-        gu, gv = guv[:, 0], guv[:, 1]
         scale = 0.5 * max(width, height)
-        grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
-        grad_ndc = jax.lax.psum(grad_ndc, DATA_AXIS)
-        # meta.proj here is the gathered full set; visibility psum'd over data.
-        visible = jax.lax.psum(
-            meta.proj.valid.astype(jnp.float32), DATA_AXIS
-        )
-        radii_frac = jax.lax.pmax(
-            meta.proj.radius / float(max(width, height)), DATA_AXIS
-        )
-        g0 = jax.lax.axis_index(GAUSS_AXIS) * shard
-        sl = lambda x: jax.lax.dynamic_slice(x, (g0,), (shard,))
-        strat_state = StrategyState(
-            grad_accum=strat_state.grad_accum + sl(grad_ndc),
-            count=strat_state.count + sl(visible),
-            max_radii=jnp.maximum(strat_state.max_radii, sl(radii_frac)),
-        )
+        if tile_sharded:
+            # Per-(band-tile, splat) |grad| accumulated into RECEIVED slab
+            # rows, then routed back to the owning shard with the reverse
+            # all_to_all (out[i][j] = in[j][i]: on source s, block d holds
+            # the stats band owner d computed for rows s sent it) — the
+            # same per-tile abs granularity as the all-gather path, with
+            # per-device stat buffers O(G*S + C/G) instead of O(C).
+            idx = meta.bins.tile_gauss.reshape(-1)
+            msk = meta.bins.tile_mask.reshape(-1)
+            g = jnp.where(msk[:, None], jnp.abs(sink_grad).reshape(-1, 2), 0.0)
+            n_slab = n_gauss * s_cap
+            slab = jnp.zeros((n_slab, 2), jnp.float32).at[
+                spread_masked(idx, msk, n_slab)
+            ].add(g, mode="drop")
+            back = jax.lax.all_to_all(
+                slab.reshape(n_gauss, s_cap, 2), GAUSS_AXIS,
+                split_axis=0, concat_axis=0, tiled=True,
+            ).reshape(-1, 2)                       # [(band, slot), 2]
+            flat_gid = route.slot_gid.reshape(-1)
+            flat_valid = route.slot_valid.reshape(-1)
+            contrib = jnp.where(flat_valid[:, None], back, 0.0)
+            guv = jnp.zeros((shard, 2), jnp.float32).at[
+                spread_masked(flat_gid, flat_valid, shard)
+            ].add(contrib, mode="drop")
+            grad_ndc = jnp.sqrt(
+                (guv[:, 0] * scale) ** 2 + (guv[:, 1] * scale) ** 2
+            )
+            grad_ndc = jax.lax.psum(grad_ndc, DATA_AXIS)
+            visible = jax.lax.psum(
+                proj_local.valid.astype(jnp.float32), DATA_AXIS
+            )
+            radii_frac = jax.lax.pmax(
+                proj_local.radius / float(max(width, height)), DATA_AXIS
+            )
+            strat_state = StrategyState(
+                grad_accum=strat_state.grad_accum + grad_ndc,
+                count=strat_state.count + visible,
+                max_radii=jnp.maximum(strat_state.max_radii, radii_frac),
+            )
+        else:
+            # Densification statistics: full-C scatter, psum over data,
+            # reslice.
+            idx = meta.bins.tile_gauss.reshape(-1)
+            msk = meta.bins.tile_mask.reshape(-1)
+            g = jnp.where(msk[:, None], jnp.abs(sink_grad).reshape(-1, 2), 0.0)
+            # Collision-free scatter indices (masked contributions zeroed)
+            # and both columns in one row scatter — see
+            # ops/segsum.spread_masked.
+            sidx = spread_masked(idx, msk, capacity)
+            guv = jnp.zeros((capacity, 2), jnp.float32).at[sidx].add(
+                g, mode="drop"
+            )
+            gu, gv = guv[:, 0], guv[:, 1]
+            grad_ndc = jnp.sqrt((gu * scale) ** 2 + (gv * scale) ** 2)
+            grad_ndc = jax.lax.psum(grad_ndc, DATA_AXIS)
+            # meta.proj here is the gathered full set; visibility psum'd
+            # over data.
+            visible = jax.lax.psum(
+                meta.proj.valid.astype(jnp.float32), DATA_AXIS
+            )
+            radii_frac = jax.lax.pmax(
+                meta.proj.radius / float(max(width, height)), DATA_AXIS
+            )
+            g0 = jax.lax.axis_index(GAUSS_AXIS) * shard
+            sl = lambda x: jax.lax.dynamic_slice(x, (g0,), (shard,))
+            strat_state = StrategyState(
+                grad_accum=strat_state.grad_accum + sl(grad_ndc),
+                count=strat_state.count + sl(visible),
+                max_radii=jnp.maximum(strat_state.max_radii, sl(radii_frac)),
+            )
 
         metrics = {
             "loss": jax.lax.pmean(loss, DATA_AXIS),

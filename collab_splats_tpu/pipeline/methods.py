@@ -41,7 +41,10 @@ def _rade_gs_config(
         render=_render_opts(rasterize_mode),
         **kw,
     )
-    return TrainerConfig(model=model, strategy=strategy.StrategyConfig())
+    # num_downscales/resolution_schedule: Splatfacto progressive-resolution
+    # defaults the reference inherits (consumed at rade_gs_model.py:132).
+    return TrainerConfig(model=model, strategy=strategy.StrategyConfig(),
+                         num_downscales=2, resolution_schedule=3000)
 
 
 def _rade_features_config(
@@ -55,7 +58,8 @@ def _rade_features_config(
         render=_render_opts(rasterize_mode),
         **kw,
     )
-    return TrainerConfig(model=model, strategy=strategy.StrategyConfig())
+    return TrainerConfig(model=model, strategy=strategy.StrategyConfig(),
+                         num_downscales=2, resolution_schedule=3000)
 
 
 METHODS: Dict[str, MethodSpec] = {

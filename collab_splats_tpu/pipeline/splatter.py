@@ -283,6 +283,8 @@ class Splatter:
         downscale_factor: int = 1,
         capacity: Optional[int] = None,
         seed: int = 42,
+        num_downscales: Optional[int] = None,
+        resolution_schedule: Optional[int] = None,
         **method_kwargs: Any,
     ):
         """Train the selected method in-process.
@@ -354,6 +356,12 @@ class Splatter:
         tconf = spec.make_trainer_config(**method_kwargs)
         if max_iterations:
             tconf = dataclasses.replace(tconf, max_iterations=max_iterations)
+        if num_downscales is not None:
+            tconf = dataclasses.replace(tconf, num_downscales=num_downscales)
+        if resolution_schedule is not None:
+            tconf = dataclasses.replace(
+                tconf, resolution_schedule=resolution_schedule
+            )
         tconf = dataclasses.replace(tconf, scene_scale=dm.scene_scale)
 
         if dm.points is not None and len(dm.points) >= 8:

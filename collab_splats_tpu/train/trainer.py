@@ -51,6 +51,13 @@ class TrainerConfig:
     seed: int = 42
     optimize_camera_poses: bool = False  # per-camera SO3xR3 deltas
     use_bilateral_grid: bool = False     # per-image appearance grids
+    # Progressive resolution (Splatfacto `_get_downscale_factor`, consumed by
+    # the reference at rade_gs_model.py:132 / rade_features_model.py:245):
+    # train at 1/2^k resolution early, halving the factor every
+    # `resolution_schedule` steps.  Each factor is one extra jit
+    # specialization (static camera size), compiled once per phase.
+    num_downscales: int = 0
+    resolution_schedule: int = 3000
     # Datasets up to this size are cached in HBM; larger ones stay host
     # numpy and stream one frame per step (see Trainer.__init__).
     dataset_hbm_budget_bytes: int = 4 << 30
@@ -131,7 +138,9 @@ class Trainer:
         self.history: List[Dict[str, float]] = []
 
     # ------------------------------------------------------------------ jit
-    @functools.partial(jax.jit, static_argnames=("self", "reg_active"))
+    @functools.partial(
+        jax.jit, static_argnames=("self", "reg_active", "downscale")
+    )
     def _train_step(
         self,
         params,
@@ -145,9 +154,18 @@ class Trainer:
         features_gt,
         cam_idx,
         reg_active: bool,
+        downscale: int = 1,
     ):
         cfg = self.config.model
         bg_key, _ = jax.random.split(key)
+        if downscale > 1:
+            # `camera` arrives already downscaled (floor-division sizes);
+            # average-pool the full-res GT to match — the same box filter
+            # Splatfacto's `_downscale_if_required` applies to GT images.
+            ih, iw = camera.height * downscale, camera.width * downscale
+            image = jnp.asarray(image)[:ih, :iw].reshape(
+                camera.height, downscale, camera.width, downscale, -1
+            ).mean(axis=(1, 3))
         if cfg.render.backend == "pallas":
             from ..ops.rasterize import pallas_sink_shape
 
@@ -201,6 +219,19 @@ class Trainer:
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, sink)
 
+        # Dead rows must not update: the segment-sum gradient reduction's
+        # prefix-difference rounding (ops/segsum.py precision note) can leave
+        # ~1e-9 noise on never-rendered rows, which Adam's normalization
+        # amplifies to a full-lr drift.  Zero capacity-row grads exactly.
+        cap = alive.shape[0]
+        amask = alive.astype(jnp.float32)
+        pgrads = {
+            k: g * amask.reshape((-1,) + (1,) * (g.ndim - 1))
+            if hasattr(g, "ndim") and g.ndim >= 1 and g.shape[0] == cap
+            else g
+            for k, g in pgrads.items()
+        }
+
         updates, opt_state = self.optimizer.update(pgrads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         if cfg.render.backend == "pallas":
@@ -240,6 +271,18 @@ class Trainer:
         )
 
     # ----------------------------------------------------------------- host
+    def downscale_factor(self, step: Optional[int] = None) -> int:
+        """Progressive-resolution factor at ``step`` (Splatfacto
+        ``_get_downscale_factor``): 2^max(num_downscales - step // schedule, 0).
+        Evaluation always renders at full resolution (factor 1)."""
+        cfg = self.config
+        if cfg.num_downscales <= 0:
+            return 1
+        s = self.step if step is None else step
+        return 2 ** max(
+            cfg.num_downscales - s // max(cfg.resolution_schedule, 1), 0
+        )
+
     def train_one_step(self) -> Dict[str, float]:
         cfg = self.config
         scfg = cfg.strategy
@@ -258,9 +301,11 @@ class Trainer:
             cfg.model.use_depth_normal_loss
             and self.step >= cfg.model.regularization_from_iter
         )
+        d = self.downscale_factor()
         self.params, self.opt_state, self.strat_state, metrics = self._train_step(
             self.params, self.alive, self.opt_state, self.strat_state,
-            step_key, self.step, camera, image, features_gt, idx, reg_active,
+            step_key, self.step, camera.downscaled(d), image, features_gt,
+            idx, reg_active, downscale=d,
         )
         self.step += 1
 

@@ -16,6 +16,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     names = sys.argv[1:]
+    forward_only = "--forward" in names
+    names = [n for n in names if n != "--forward"]
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +56,14 @@ def main():
             return acc + g[0][0, 0]
         return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
 
-    txt = step_loop.lower(m, q, s, o, c).compile().as_text()
+    @jax.jit
+    def fwd_loop(m, q, s, o, c):
+        def body(i, acc):
+            return acc + render_sum(jnp.roll(m, i, axis=0), q, s, o, c)
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
+
+    loop = fwd_loop if forward_only else step_loop
+    txt = loop.lower(m, q, s, o, c).compile().as_text()
     print(f"compiled HLO: {len(txt)} chars", file=sys.stderr)
     # Index: for each fusion/sort computation, find its definition line and
     # any metadata on it; for fusions also print the fused computation's

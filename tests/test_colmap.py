@@ -162,6 +162,113 @@ class TestHloc:
         with pytest.raises(hloc.HlocError, match="hloc"):
             hloc.run_hloc_sfm(tmp_path, tmp_path)
 
+    def test_recipe_executes_with_stub_hloc(self, tmp_path, monkeypatch):
+        """Drive run_hloc_sfm's full body — features, pairs, matching,
+        reconstruction, TXT conversion via the shared write_dataset_outputs
+        — against stub hloc/pycolmap modules exposing the driver-facing
+        API, so the recipe path (not just its gate) is covered in CI.  The
+        real packages need hub model downloads unavailable offline."""
+        import sys
+        import types
+
+        calls = []
+
+        ef = types.ModuleType("hloc.extract_features")
+        ef.confs = {
+            "superpoint_aachen": {"output": "feats-superpoint"},
+            "netvlad": {"output": "global-feats-netvlad"},
+        }
+
+        def ef_main(conf, images_dir, work):
+            calls.append(("extract", conf["output"]))
+            p = Path(work) / (conf["output"] + ".h5")
+            p.write_bytes(b"")
+            return p
+
+        ef.main = ef_main
+
+        mf = types.ModuleType("hloc.match_features")
+        mf.confs = {"superglue": {"output": "matches-superglue"}}
+
+        def mf_main(conf, pairs, feature_output, work):
+            calls.append(("match", feature_output))
+            assert Path(pairs).exists(), "pairs file must exist before matching"
+            p = Path(work) / "matches.h5"
+            p.write_bytes(b"")
+            return p
+
+        mf.main = mf_main
+
+        pe = types.ModuleType("hloc.pairs_from_exhaustive")
+
+        def pe_main(out, image_list=None):
+            calls.append(("pairs", tuple(image_list)))
+            Path(out).write_text(
+                "\n".join(f"{a} {b}" for a in image_list for b in image_list
+                          if a < b)
+            )
+
+        pe.main = pe_main
+
+        pr = types.ModuleType("hloc.pairs_from_retrieval")
+
+        def pr_main(retrieval, out, num_matched=None):
+            calls.append(("retrieval", num_matched))
+            Path(out).write_text("a b\n")
+
+        pr.main = pr_main
+
+        rec = types.ModuleType("hloc.reconstruction")
+
+        class _Model:
+            def num_reg_images(self):
+                return 4
+
+            def write_text(self, path):
+                _write_model(Path(path))
+
+        def rec_main(sfm_dir, images_dir, pairs, features, matches):
+            calls.append(("reconstruct",))
+            assert Path(features).exists() and Path(matches).exists()
+            return _Model()
+
+        rec.main = rec_main
+
+        hloc_mod = types.ModuleType("hloc")
+        for name, mod in [("extract_features", ef), ("match_features", mf),
+                          ("pairs_from_exhaustive", pe),
+                          ("pairs_from_retrieval", pr),
+                          ("reconstruction", rec)]:
+            setattr(hloc_mod, name, mod)
+            monkeypatch.setitem(sys.modules, "hloc." + name, mod)
+        monkeypatch.setitem(sys.modules, "hloc", hloc_mod)
+        monkeypatch.setitem(
+            sys.modules, "pycolmap", types.ModuleType("pycolmap")
+        )
+
+        from collab_splats_tpu.pipeline import hloc as hl
+
+        assert hl.hloc_available()
+        imgs = tmp_path / "images"
+        imgs.mkdir()
+        for i in range(4):
+            (imgs / f"frame_{i:05d}.png").write_bytes(b"")
+
+        out = hl.run_hloc_sfm(imgs, tmp_path, matcher="exhaustive")
+        meta = json.loads(out.read_text())
+        assert len(meta["frames"]) == 4
+        assert ("reconstruct",) in calls
+        assert ("pairs", tuple(f"frame_{i:05d}.png" for i in range(4))) \
+            in calls
+        assert (tmp_path / "sparse_points.ply").exists()
+
+        # Sequential (video) path: NetVLad retrieval pairs instead.
+        out2_dir = tmp_path / "seq"
+        out2_dir.mkdir()
+        hl.run_hloc_sfm(imgs, out2_dir, matcher="sequential", num_matched=7)
+        assert ("retrieval", 7) in calls
+        assert ("extract", "global-feats-netvlad") in calls
+
     def test_hloc_tool_falls_back_to_colmap_error(self, tmp_path, monkeypatch):
         # sfm_tool="hloc" without hloc AND without colmap -> the combined
         # "no SfM tool" error, mentioning both options.

@@ -46,13 +46,15 @@ def _scene(capacity=256, n=200, n_cams=4, size=32):
     return params, alive, cams, cam_batch, images, cfg
 
 
-def _run(mesh, params, alive, cam_batch, images, cfg, capacity, steps=2):
+def _run(mesh, params, alive, cam_batch, images, cfg, capacity, steps=2,
+         tile_sharded=False, send_cap=None):
     opt = optim.make_optimizer(optim.RADE_GS_GROUPS, optim.default_labels(params))
     opt_state = opt.init(params)
     strat = strategy.init_state(capacity)
     step_fn = make_sharded_train_step(
         mesh, opt, cfg, int(images.shape[2]), int(images.shape[1]),
         capacity, jax.eval_shape(lambda: opt_state), reg_active=True,
+        tile_sharded=tile_sharded, send_cap=send_cap,
     )
     key = jax.random.PRNGKey(5)
     metrics = None
@@ -112,6 +114,51 @@ class TestShardedTraining:
             np.asarray(strat_a.grad_accum), np.asarray(strat_b.grad_accum),
             rtol=1e-3, atol=1e-7,
         )
+
+    def test_tile_sharded_step_matches_allgather(self):
+        """The routed (all_to_all band) training step is a pure layout
+        change: losses, updated parameters, AND densification statistics
+        must match the all-gather step on the same mesh (VERDICT r2 #4)."""
+        capacity = 256
+        params, alive, cams, cam_batch, images, cfg = _scene(capacity)
+        mesh = pmesh.make_mesh(n_data=4, n_gauss=2)
+        p_a, strat_a, m_a = _run(
+            mesh, params, alive, cam_batch, images, cfg, capacity
+        )
+        p_b, strat_b, m_b = _run(
+            mesh, params, alive, cam_batch, images, cfg, capacity,
+            tile_sharded=True,
+        )
+        assert float(m_a["loss"]) == pytest.approx(
+            float(m_b["loss"]), rel=1e-4
+        )
+        assert int(m_b["spilled"]) == int(m_a["spilled"])
+        np.testing.assert_allclose(
+            np.asarray(p_a["means"]), np.asarray(p_b["means"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(strat_a.grad_accum), np.asarray(strat_b.grad_accum),
+            rtol=1e-3, atol=1e-7,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(strat_a.count), np.asarray(strat_b.count)
+        )
+
+    def test_tile_sharded_buffers_scale_with_send_cap(self):
+        """Training-path memory claim: with send_cap=S the routed step's
+        per-device candidate set is G*S rows independent of capacity; a
+        small S still trains (overflow -> spilled metric, finite loss)."""
+        capacity = 256
+        params, alive, cams, cam_batch, images, cfg = _scene(capacity)
+        mesh = pmesh.make_mesh(n_data=4, n_gauss=2)
+        p, strat, m = _run(
+            mesh, params, alive, cam_batch, images, cfg, capacity,
+            tile_sharded=True, send_cap=32,
+        )
+        assert np.isfinite(float(m["loss"]))
+        delta = float(jnp.max(jnp.abs(p["means"] - params["means"])))
+        assert delta > 0
 
 
 class TestShardedRefinement:

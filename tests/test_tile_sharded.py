@@ -55,7 +55,7 @@ def _sharded_render(mesh, m, q, s, o, c, cam, opts, send_cap):
             eps2d=opts.eps2d, near_plane=opts.near_plane,
             far_plane=opts.far_plane, radius_clip=opts.radius_clip,
         )
-        out, _ = render_tile_sharded(
+        out, _, _ = render_tile_sharded(
             proj, o, c, cam, opts, n_bands, send_cap
         )
         return out.color, out.depth, out.alpha, out.spilled
@@ -110,7 +110,7 @@ class TestTileSharded:
                 eps2d=opts.eps2d, near_plane=opts.near_plane,
                 far_plane=opts.far_plane, radius_clip=opts.radius_clip,
             )
-            out, _ = render_tile_sharded(proj, o, c, cam, opts, n_bands, 256)
+            out, _, _ = render_tile_sharded(proj, o, c, cam, opts, n_bands, 256)
             # Full image on every member: average the psum'd local value.
             return jax.lax.psum(
                 jnp.sum(out.color) + jnp.sum(out.depth), "gauss"
@@ -155,7 +155,7 @@ class TestTileSharded:
                 m, q[:256], jnp.exp(jnp.zeros((256, 3)) - 4.0), viewmat,
                 cam.K, cam.width, cam.height,
             )
-            proj_b, extras_b, valid_b, _ = route_to_bands(
+            proj_b, extras_b, valid_b, _, _ = route_to_bands(
                 proj, jnp.zeros((256, 1)), cam.height, opts.tile_size, 4, 64
             )
             return proj_b.depth[None]

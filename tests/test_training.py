@@ -98,6 +98,48 @@ class TestTraining:
         # Depth-normal loss phase kicked in at step 30.
         assert any("depth_normal_loss" in h for h in hist[35:])
 
+    def test_progressive_resolution_schedule(self):
+        """Splatfacto progressive resolution (reference rade_gs_model.py:132):
+        factor 2^max(num_downscales - step//schedule, 0), stepping up on
+        schedule; training runs through a factor transition and eval stays
+        full-res."""
+        gt, cams, images, cfg = _make_scene(n=120, n_cams=3, size=48)
+        capacity = 256
+        init = pad_to_capacity(dict(gt), capacity)
+        alive = jnp.arange(capacity) < 120
+        tconf = TrainerConfig(
+            model=cfg,
+            strategy=strategy.StrategyConfig(warmup_length=10_000_000),
+            max_iterations=20,
+            num_downscales=2,
+            resolution_schedule=4,
+        )
+        tr = Trainer(tconf, cams, images, init, alive)
+        assert tr.downscale_factor(0) == 4
+        assert tr.downscale_factor(3) == 4
+        assert tr.downscale_factor(4) == 2
+        assert tr.downscale_factor(8) == 1
+        assert tr.downscale_factor(10_000) == 1
+        # Run across both transitions: each factor is a fresh jit
+        # specialization; losses must stay finite through the flips.
+        hist = [tr.train_one_step() for _ in range(10)]
+        assert all(np.isfinite(h["loss"]) for h in hist)
+        # Eval renders full resolution regardless of the schedule.
+        ev = tr.eval_image(cams[0], images[0])
+        assert np.isfinite(ev["psnr"])
+
+    def test_camera_downscaled_floor_semantics(self):
+        """Odd sizes floor-divide and intrinsics scale by exactly 1/f, so a
+        pooled [H//f*f, W//f*f] image matches the downscaled camera."""
+        cam = cams0 = orbit_cameras(1, radius=2.0, width=47, height=33,
+                                    focal=50.0)[0]
+        d = cam.downscaled(2)
+        assert (d.width, d.height) == (23, 16)
+        np.testing.assert_allclose(np.asarray(d.K[:2]),
+                                   np.asarray(cam.K[:2]) / 2.0, rtol=1e-6)
+        assert np.asarray(d.K[2, 2]) == 1.0
+        assert cam.downscaled(1) is cam
+
 
 class TestCameraOpt:
     def test_pose_optimization_recovers_perturbation(self):
