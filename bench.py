@@ -135,6 +135,8 @@ def main():
         "value": round(pps, 1),
         "unit": "pixels/s",
         "vs_baseline": round(pps / nominal_baseline_pps, 4),
+        "binning_spill": spill,
+        "step_ms": round(bwd_t * 1000, 2),
     }))
 
 

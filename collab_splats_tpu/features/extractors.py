@@ -76,13 +76,26 @@ class BaseExtractor:
 
 def _prep_image(image, resolution, patch_size, mean, std):
     """Resize longest edge to ``resolution``, snap to patch multiples,
-    normalize.  Returns (img [th, tw, 3], ph, pw)."""
+    normalize.  Returns (img [th, tw, 3], ph, pw).
+
+    Mirrors the reference's two-stage chain exactly (features.py:51-99:
+    PIL BILINEAR longest-edge resize, then ``F.interpolate(bilinear,
+    align_corners=False)`` down to patch multiples): one direct resize
+    differs by up to ~0.5 normalized units at hard edges, which shifts
+    released-weight features (scripts/feature_goldens.py --prep-parity
+    pins this against the torch chain).  Stage 1 antialiases like PIL;
+    stage 2 does not, like F.interpolate's default."""
     img = np.asarray(image, np.float32)
     h, w = img.shape[:2]
     scale = resolution / max(h, w)
-    th = max(int(round(h * scale)) // patch_size, 1) * patch_size
-    tw = max(int(round(w * scale)) // patch_size, 1) * patch_size
-    img = np.asarray(jax.image.resize(jnp.asarray(img), (th, tw, 3), "linear"))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    th = max(nh // patch_size, 1) * patch_size
+    tw = max(nw // patch_size, 1) * patch_size
+    x = jax.image.resize(jnp.asarray(img), (nh, nw, 3), "linear",
+                         antialias=True)
+    if (nh, nw) != (th, tw):
+        x = jax.image.resize(x, (th, tw, 3), "linear", antialias=False)
+    img = np.asarray(x)
     img = (img - np.asarray(mean)) / np.asarray(std)
     return img, th // patch_size, tw // patch_size
 

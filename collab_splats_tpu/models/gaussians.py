@@ -99,6 +99,13 @@ def pad_to_capacity(params: GaussianParams, capacity: int) -> GaussianParams:
             return jnp.concatenate([x, fill], axis=0)
         if name == "opacities":
             return jnp.pad(x, pad_width, constant_values=-10.0)
+        if name == "scales":
+            # Log-scale 0 would make dead rows UNIT-size Gaussians: invisible
+            # (opacity ~0) but binned over dozens of tiles each, flooding the
+            # intersection buffer and evicting real splats from tile windows
+            # at scale.  exp(-15) ~ 3e-7 keeps them sub-pixel; binning also
+            # culls dead rows explicitly via the alive mask (ops/rasterize).
+            return jnp.pad(x, pad_width, constant_values=-15.0)
         return jnp.pad(x, pad_width)
 
     return {

@@ -128,6 +128,7 @@ def get_outputs(
             absgrad_sink=absgrad_sink,
             stop_threshold=config.render.stop_threshold,
             interpret=config.render.pallas_interpret,
+            alive_mask=alive.astype(bool),
         )
     else:
         out, meta = render_tiled(
@@ -139,6 +140,7 @@ def get_outputs(
             camera,
             config.render,
             absgrad_sink=absgrad_sink,
+            alive_mask=alive.astype(bool),
         )
 
     bg = background_color(config, rng, training)

@@ -107,6 +107,7 @@ def render_tiled_pallas(
     absgrad_sink: Optional[jax.Array] = None,
     stop_threshold: float = 1e-4,
     interpret: bool = False,
+    alive_mask: Optional[jax.Array] = None,
 ) -> tuple[RenderOutput, "RenderMeta"]:
     """Pallas-kernel render path.
 
@@ -130,6 +131,8 @@ def render_tiled_pallas(
         eps2d=opts.eps2d, near_plane=opts.near_plane,
         far_plane=opts.far_plane, radius_clip=opts.radius_clip,
     )
+    if alive_mask is not None:
+        proj = proj._replace(valid=proj.valid & alive_mask)
     opac = opacities
     if opts.rasterize_mode == "antialiased":
         opac = opac * proj.compensation
@@ -244,11 +247,16 @@ def render_tiled(
     normals_world: Optional[jax.Array] = None,
     absgrad_sink: Optional[jax.Array] = None,
     tile_chunk: int = 64,
+    alive_mask: Optional[jax.Array] = None,
 ) -> tuple[RenderOutput, RenderMeta]:
     """Render one camera with the tiled rasterizer.
 
     Args match :func:`core.golden.render_golden`; ``colors`` is [N, C] with
     SH already evaluated (C = 3 for RGB, 3 + latent_dim for rade-features).
+    ``alive_mask`` (optional [N] bool) removes dead capacity-padding rows
+    from binning entirely — they are already invisible (zero opacity), but
+    without the mask they'd still consume intersection-buffer slots and
+    tile-window capacity.
 
     Returns:
         (RenderOutput, RenderMeta).  ``RenderOutput.color`` has no background
@@ -261,6 +269,8 @@ def render_tiled(
         eps2d=opts.eps2d, near_plane=opts.near_plane,
         far_plane=opts.far_plane, radius_clip=opts.radius_clip,
     )
+    if alive_mask is not None:
+        proj = proj._replace(valid=proj.valid & alive_mask)
     opac = opacities
     if opts.rasterize_mode == "antialiased":
         opac = opac * proj.compensation

@@ -210,6 +210,9 @@ def make_sharded_train_step(
             proj = jax.checkpoint(_proj)(
                 p["means"], p["quats"], jnp.exp(p["scales"])
             )
+            # Dead capacity rows: invisible anyway, but excluding them from
+            # validity keeps them out of routing slabs and tile windows.
+            proj = proj._replace(valid=proj.valid & alive.astype(bool))
             if opts.rasterize_mode == "antialiased":
                 opac = opac * proj.compensation
             out, meta, route = render_tile_sharded(
@@ -246,9 +249,10 @@ def make_sharded_train_step(
                 if opts.rasterize_mode == "antialiased":
                     op = op * pj.compensation
                 per_gauss = pack_per_gauss(pj, op, pj.normal, colors)
+                live = pj.valid & alive.astype(bool)  # dead rows: no binning
                 binpack = jnp.concatenate(
                     [pj.mean2d, pj.depth[:, None], pj.radius[:, None],
-                     pj.valid[:, None].astype(jnp.float32),
+                     live[:, None].astype(jnp.float32),
                      pj.radius_xy], axis=1,
                 )
                 return per_gauss, jax.lax.stop_gradient(binpack)
