@@ -87,7 +87,30 @@ def _expand_fwd(table, idx, n):
     return table[idx], idx
 
 
+def _use_pallas_segsum() -> bool:
+    """Pallas segment-sum backward on TPU; pure-XLA elsewhere.
+
+    Override with COLLAB_SPLATS_SEGSUM=xla|pallas (A/B measurement)."""
+    import os
+
+    force = os.environ.get("COLLAB_SPLATS_SEGSUM")
+    if force == "xla":
+        return False
+    if force == "pallas":
+        return True
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _expand_bwd(n, idx, ct):
+    if _use_pallas_segsum():
+        from .pallas.segsum_kernel import expand_bwd_pallas
+
+        return expand_bwd_pallas(n, idx, ct), None
     d = ct.shape[1]
     # Move the cotangent rows into gid order THROUGH the sort network
     # (payload sort): microbenched at 7 ms for [2M, 15] — the same data

@@ -94,3 +94,40 @@ class TestWindowedGather:
                     np.asarray(jnp.where(in_range, want, 0)),
                     err_msg=f"m={m} k_cap={k_cap}",
                 )
+
+
+class TestPallasSegmentSum:
+    """The Pallas one-hot-matmul segment-sum (ops/pallas/segsum_kernel.py)
+    — the TPU backward of expand_rows — must match the exact scatter-add,
+    including id skew, absent ids, and non-multiple sizes.  Interpret mode
+    on CPU; the same kernel lowers on hardware (probed on the real chip)."""
+
+    def test_matches_scatter_add(self):
+        from collab_splats_tpu.ops.pallas.segsum_kernel import (
+            expand_bwd_pallas,
+        )
+
+        rng = np.random.RandomState(3)
+        for (m, d, n) in [(3000, 15, 1000), (2048, 3, 513), (1500, 7, 97)]:
+            idx = jnp.asarray(rng.randint(0, n, m), jnp.int32)
+            ct = jnp.asarray(rng.randn(m, d), jnp.float32)
+            got = expand_bwd_pallas(n, idx, ct, interpret=True)
+            ref = jnp.zeros((n, d)).at[idx].add(ct)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"m={m} d={d} n={n}")
+
+    def test_skewed_ids_exact(self):
+        """All rows concentrated on a handful of ids (one output block does
+        all the work; most blocks see zero rows)."""
+        from collab_splats_tpu.ops.pallas.segsum_kernel import (
+            expand_bwd_pallas,
+        )
+
+        rng = np.random.RandomState(4)
+        idx = jnp.asarray(rng.randint(0, 5, 4096), jnp.int32)
+        ct = jnp.asarray(rng.randn(4096, 15), jnp.float32)
+        got = expand_bwd_pallas(600, idx, ct, interpret=True)
+        ref = jnp.zeros((600, 15)).at[idx].add(ct)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
