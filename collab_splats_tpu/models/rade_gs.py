@@ -54,6 +54,12 @@ class RadeGSConfig:
     background: str = "random"          # "random" | "black" | "white"
     latent_dim: int = 0                 # 13 for rade-features
     render: RenderOptions = RenderOptions()
+    # Reference `prefilter_voxel` knob (rade_gs_model.py:348-399): a pre-
+    # pass projecting all Gaussians and masking radii == 0.  The TPU
+    # pipeline applies exactly that mask structurally — binning consumes
+    # `Projection.valid` (radius > 0 & on-screen & in-depth) every render —
+    # so the flag is accepted for config parity and is a no-op here.
+    prefilter_voxel: bool = False
 
     def active_sh_degree(self, step: jax.Array | int) -> jax.Array:
         if self.sh_degree <= 0:
@@ -110,6 +116,7 @@ def get_outputs(
     training: bool = True,
     compute_error_maps: bool = False,
     absgrad_sink: Optional[jax.Array] = None,
+    crop_box: Optional[jax.Array] = None,
 ) -> Tuple[Dict[str, jax.Array], RenderMeta]:
     """Render one camera and assemble the reference's output dict.
 
@@ -117,7 +124,18 @@ def get_outputs(
     median_depth, accumulation, normals ([0,1]-mapped), the two error maps,
     background; plus "features" [H,W,latent] when latent_dim > 0 and
     "normal_cam" (raw camera-space accumulated normal).
+
+    ``crop_box`` ([2, 3] world-space min/max corners) restricts rendering
+    to Gaussians inside the box — the reference's eval-time
+    ``crop_box.within(self.means)`` crop (rade_gs_model.py:95-100),
+    expressed as an alive-mask AND instead of a dynamic-shape slice.
     """
+    if crop_box is not None:
+        inside = jnp.all(
+            (params["means"] >= crop_box[0][None, :])
+            & (params["means"] <= crop_box[1][None, :]), axis=-1,
+        )
+        alive = alive & inside
     colors = compute_colors(params, camera, step, config)
     if config.render.backend == "pallas":
         from ..ops.rasterize import render_tiled_pallas

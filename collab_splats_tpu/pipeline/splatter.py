@@ -425,13 +425,42 @@ class Splatter:
         return run_dir
 
     # -------------------------------------------------------------- loading
+    def _select_run(self, runs) -> Path:
+        """Pick among timestamped runs (reference splatter.py:380-414).
+
+        With one run (or no TTY — CI, notebooks run headless) the most
+        recent is used; interactively, the runs are listed and the user
+        picks by index, Enter meaning most-recent — the same prompt loop
+        as the reference."""
+        import sys
+
+        if len(runs) == 1 or not sys.stdin.isatty():
+            return runs[-1]
+        print(f"Found {len(runs)} training runs:")
+        for i, r in enumerate(runs):
+            print(f"[{i}] {r.name}")
+        while True:
+            sel = input(
+                "\nSelect run number (or press Enter for most recent): "
+            ).strip()
+            if sel == "":
+                return runs[-1]
+            try:
+                idx = int(sel)
+            except ValueError:
+                print("Please enter a valid number")
+                continue
+            if 0 <= idx < len(runs):
+                return runs[idx]
+            print(f"Please enter a number between 0 and {len(runs) - 1}")
+
     def load_model(self, run: Optional[Path] = None):
         if self._loaded is not None and run is None:
             return self._loaded
         runs = self._runs()
         if not runs:
             raise ValidationError(f"No trained runs under {self.model_dir}")
-        run = run or runs[-1]
+        run = run or self._select_run(runs)
         path = ckpt_lib.latest_checkpoint(run)
         step, params, alive, _ = ckpt_lib.load_checkpoint(path)
         spec = get_method(self.config["method"])

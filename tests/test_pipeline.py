@@ -302,3 +302,46 @@ class TestTrainingResume:
         s3 = Splatter(cfg)
         run3 = s3.train(**tc)
         assert run3 == run
+
+
+class TestSelectRun:
+    """Interactive run selection (reference splatter.py:380-414): headless
+    picks most-recent; a TTY prompt accepts an index, Enter, and rejects
+    junk before a valid pick."""
+
+    def _splatter(self, tmp_path):
+        from collab_splats_tpu.pipeline.splatter import Splatter
+
+        (tmp_path / "in").mkdir(exist_ok=True)
+        return Splatter({
+            "file_path": str(tmp_path / "in"),
+            "method": "rade-gs",
+            "output_path": str(tmp_path / "out"),
+        })
+
+    def test_headless_picks_latest(self, tmp_path, monkeypatch):
+        import sys
+
+        s = self._splatter(tmp_path)
+        monkeypatch.setattr(sys.stdin, "isatty", lambda: False)
+        runs = [tmp_path / "run_a", tmp_path / "run_b"]
+        assert s._select_run(runs) == runs[-1]
+
+    def test_tty_prompt_sequence(self, tmp_path, monkeypatch):
+        import sys
+
+        s = self._splatter(tmp_path)
+        monkeypatch.setattr(sys.stdin, "isatty", lambda: True)
+        answers = iter(["junk", "7", "0"])
+        monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+        runs = [tmp_path / "run_a", tmp_path / "run_b"]
+        assert s._select_run(runs) == runs[0]
+
+    def test_tty_enter_means_latest(self, tmp_path, monkeypatch):
+        import sys
+
+        s = self._splatter(tmp_path)
+        monkeypatch.setattr(sys.stdin, "isatty", lambda: True)
+        monkeypatch.setattr("builtins.input", lambda *_: "")
+        runs = [tmp_path / "a", tmp_path / "b", tmp_path / "c"]
+        assert s._select_run(runs) == runs[-1]

@@ -302,3 +302,47 @@ class TestRematPolicies:
         ga = jax.jit(jax.grad(lambda mm: loss(mm, opts_a)))(m)
         gb = jax.jit(jax.grad(lambda mm: loss(mm, opts_b)))(m)
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+class TestCropBox:
+    """Eval-time crop box (reference rade_gs_model.py:95-100): gaussians
+    outside the [2,3] min/max box must not render; inside-only renders
+    match a manually masked render exactly."""
+
+    def test_crop_box_masks_outside(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.data.synthetic import (
+            orbit_cameras, random_gaussian_params,
+        )
+        from collab_splats_tpu.models import rade_gs
+
+        cam = orbit_cameras(1, radius=2.5, width=64, height=64,
+                            focal=70.0)[0]
+        p = random_gaussian_params(jax.random.PRNGKey(0), 500, extent=0.8)
+        alive = jnp.ones(500, bool)
+        cfg = rade_gs.RadeGSConfig(sh_degree=0, background="black",
+                                   render=RenderOptions())
+        box = jnp.array([[-0.4, -0.4, -0.4], [0.4, 0.4, 0.4]])
+        out_crop, _ = rade_gs.get_outputs(
+            p, alive, cam, 0, cfg, training=False, crop_box=box
+        )
+        inside = jnp.all((p["means"] >= box[0]) & (p["means"] <= box[1]),
+                         axis=-1)
+        out_mask, _ = rade_gs.get_outputs(
+            p, alive & inside, cam, 0, cfg, training=False
+        )
+        np.testing.assert_allclose(np.asarray(out_crop["rgb"]),
+                                   np.asarray(out_mask["rgb"]), atol=1e-6)
+        # And it differs from the uncropped render (the box actually cuts).
+        out_full, _ = rade_gs.get_outputs(p, alive, cam, 0, cfg,
+                                          training=False)
+        assert float(jnp.abs(out_full["rgb"] - out_crop["rgb"]).max()) > 0.01
+
+    def test_prefilter_voxel_flag_accepted(self):
+        from collab_splats_tpu.models import rade_gs
+
+        cfg = rade_gs.RadeGSConfig(prefilter_voxel=True)
+        assert cfg.prefilter_voxel
