@@ -125,6 +125,7 @@ def project_gaussians(
     near_plane: float = 0.01,
     far_plane: float = 1e10,
     radius_clip: float = 0.0,
+    opacities: jax.Array | None = None,
 ) -> Projection:
     """Project N Gaussians into one camera.
 
@@ -140,6 +141,14 @@ def project_gaussians(
         near_plane, far_plane: depth culling range (reference uses 0.01/1e10,
             rade_gs_model.py:450-451).
         radius_clip: cull Gaussians whose screen radius is below this.
+        opacities: optional [N] *activated* opacities (pre-compensation);
+            tightens the per-axis bbox ``radius_xy`` to the exact
+            alpha >= 1/255 extent sqrt(2 ln(255 o)) sigma — low-opacity
+            splats generate proportionally fewer tile intersections, and
+            o <= 1/255 splats none at all, with bit-identical rendering
+            (``splat_alpha`` zeroes everything outside).  The antialias
+            compensation only ever shrinks alpha, so the bound stays valid
+            in "antialiased" mode.
 
     Returns:
         A :class:`Projection`; entries with ``valid == False`` carry safe
@@ -212,7 +221,16 @@ def project_gaussians(
     # max-eigenvalue square renders bit-identically while generating far
     # fewer tile intersections for anisotropic splats.  min() with the
     # square radius keeps the kept-set a subset of gsplat's (3-sigma) bbox.
-    cut = 3.3291  # sqrt(2 ln 255)
+    if opacities is None:
+        cut = 3.3291  # sqrt(2 ln 255)
+    else:
+        # Exact per-gaussian cutoff extent: alpha = o exp(-sigma) >= 1/255
+        # iff sigma <= ln(255 o); o <= 1/255 never contributes at all.
+        cut = jnp.sqrt(2.0 * jnp.clip(
+            jnp.log(255.0 * jnp.clip(
+                jax.lax.stop_gradient(opacities), 0.0, 1.0)),
+            0.0, None,
+        ))
     rx = jnp.ceil(jnp.minimum(cut * jnp.sqrt(jnp.clip(a, 0.0, None)), radius))
     ry = jnp.ceil(jnp.minimum(cut * jnp.sqrt(jnp.clip(c, 0.0, None)), radius))
     radius_xy = jnp.stack([rx, ry], axis=-1)

@@ -43,7 +43,8 @@ def _kernel(bounds_ref, cts_hbm, out_ref, scratch, sem):
     trips = jnp.maximum(pl.cdiv(b1 - c0, CHUNK), 1)
 
     d_pad = out_ref.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.float32, (N_BLOCK, CHUNK), 0)
+    # int32 iota: Mosaic rejects float iota vectors (tpu.iota must be int).
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (N_BLOCK, CHUNK), 0)
 
     def body(t, acc):
         start = pl.multiple_of(c0 + t * CHUNK, CHUNK)
@@ -52,13 +53,20 @@ def _kernel(bounds_ref, cts_hbm, out_ref, scratch, sem):
         )
         dma.start()
         dma.wait()
-        gid = scratch[d_pad - 1 : d_pad, :]               # [1, CHUNK] f32
-        onehot = (col_ids + jnp.float32(g_lo) == gid).astype(jnp.float32)
+        # gid row rides as f32 (exact < 2^24); compare in int32 (padding
+        # id -1.0 casts to -1, never matching a block column).
+        gid = scratch[d_pad - 1 : d_pad, :].astype(jnp.int32)  # [1, CHUNK]
+        onehot = (col_ids + g_lo == gid).astype(jnp.float32)
         # [D_pad, CHUNK] @ [CHUNK, NB] contraction on the MXU, f32-exact.
+        # HIGHEST: f32-accurate multi-pass bf16 on the MXU (Mosaic lowers only
+        # DEFAULT|HIGHEST) — the default
+        # single pass truncates the payload to bf16 (~1e-2 relative error
+        # measured on hardware); the one-hot operand is exact either way.
         return acc + jax.lax.dot_general(
             scratch[:, :], onehot,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     out_ref[:, :] = jax.lax.fori_loop(

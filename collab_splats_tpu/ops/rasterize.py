@@ -130,6 +130,7 @@ def render_tiled_pallas(
         camera.width, camera.height,
         eps2d=opts.eps2d, near_plane=opts.near_plane,
         far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+        opacities=opacities,
     )
     if alive_mask is not None:
         proj = proj._replace(valid=proj.valid & alive_mask)
@@ -268,6 +269,7 @@ def render_tiled(
         camera.width, camera.height,
         eps2d=opts.eps2d, near_plane=opts.near_plane,
         far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+        opacities=opacities,
     )
     if alive_mask is not None:
         proj = proj._replace(valid=proj.valid & alive_mask)
@@ -290,11 +292,14 @@ def render_tiled(
         # so cut its (dead) gradient path explicitly.
         def _pack(means, quats, scales, opacities, colors, normals_world,
                   viewmat):
+            # opacities passed so the inner projection is HLO-identical to
+            # the outer one (CSE merges the duplicates).
             pj = project_gaussians(
                 means, quats, scales, viewmat, camera.K,
                 camera.width, camera.height,
                 eps2d=opts.eps2d, near_plane=opts.near_plane,
                 far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+                opacities=opacities,
             )
             op = opacities
             if opts.rasterize_mode == "antialiased":

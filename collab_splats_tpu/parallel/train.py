@@ -200,15 +200,16 @@ def make_sharded_train_step(
             colors = rade_gs.compute_colors(p, camera, step_idx, cfg)
             opac = jax.nn.sigmoid(p["opacities"][:, 0]) * alive
 
-            def _proj(means, quats, scales):
+            def _proj(means, quats, scales, op):
                 return project_gaussians(
                     means, quats, scales, viewmat, camera.K, width, height,
                     eps2d=opts.eps2d, near_plane=opts.near_plane,
                     far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+                    opacities=op,
                 )
 
             proj = jax.checkpoint(_proj)(
-                p["means"], p["quats"], jnp.exp(p["scales"])
+                p["means"], p["quats"], jnp.exp(p["scales"]), opac
             )
             # Dead capacity rows: invisible anyway, but excluding them from
             # validity keeps them out of routing slabs and tile windows.
@@ -244,6 +245,7 @@ def make_sharded_train_step(
                     means, quats, scales, viewmat, camera.K, width, height,
                     eps2d=opts.eps2d, near_plane=opts.near_plane,
                     far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+                    opacities=opac,
                 )
                 op = opac
                 if opts.rasterize_mode == "antialiased":
