@@ -52,7 +52,13 @@ def main():
                            focal=1.0 * width)[0]
     opts = RenderOptions(
         rasterize_mode="antialiased",
-        max_intersections=1 << 21,
+        # 5<<19 = 2.62M: the scene generates ~2.27M intersections with the
+        # per-axis opacity-aware bbox (core/projection.radius_xy), so this
+        # leaves ~15% headroom and the bench measures with ZERO dropped
+        # work — at a fraction of the binning cost of the 8N default
+        # (m_cap-proportional sort/gathers).  The emitted JSON carries the
+        # spill count; the run aborts the honesty claim if it ever rises.
+        max_intersections=5 << 19,
         tile_capacity=512,
         backend=backend,
         # Quantized log-depth keys: skips the global depth argsort; ordering
@@ -113,9 +119,30 @@ def main():
         t0 = time.time()
         jax.block_until_ready(fn(m, q, s, o, c))
         compile_s = time.time() - t0
-        t0 = time.time()
-        jax.block_until_ready(fn(m, q, s, o, c))
-        return compile_s, (time.time() - t0) / reps
+
+        def measure():
+            t0 = time.time()
+            jax.block_until_ready(fn(m, q, s, o, c))
+            return (time.time() - t0) / reps
+
+        per = measure()
+        # Corrupt-executable guard: the remote compile service occasionally
+        # hands back an executable that "runs" in microseconds without
+        # doing the work (observed after service restarts).  Any per-iter
+        # below 1 ms is physically impossible for this workload; clear the
+        # in-memory executable and reload from the persistent compilation
+        # cache, which has produced a working one on retry.
+        tries = 0
+        while per * 1000 < 1.0 and tries < 3:
+            log(f"absurd per-iter {per*1000:.3f} ms: reloading executable "
+                f"(attempt {tries + 1})")
+            jax.clear_caches()
+            t0 = time.time()
+            jax.block_until_ready(fn(m, q, s, o, c))
+            log(f"  reload+1st {time.time() - t0:.1f}s")
+            per = measure()
+            tries += 1
+        return compile_s, per
 
     fwd_compile, fwd_t = timeit(forward_loop)
     spill = int(jax.block_until_ready(forward_loop(m, q, s, o, c))[1])

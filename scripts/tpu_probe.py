@@ -88,8 +88,22 @@ def main():
     def timeit(name, fn):
         t0 = time.time(); jax.block_until_ready(fn(m, q, s, o, c))
         compile_s = time.time() - t0
-        t0 = time.time(); jax.block_until_ready(fn(m, q, s, o, c))
-        per = (time.time() - t0) / reps
+
+        def measure():
+            t0 = time.time(); jax.block_until_ready(fn(m, q, s, o, c))
+            return (time.time() - t0) / reps
+
+        per = measure()
+        # Corrupt-executable guard (see bench.py): sub-ms per-iter is
+        # impossible here; reload the executable from the persistent cache.
+        tries = 0
+        while per * 1000 < 1.0 and tries < 3:
+            print(f"{name}: absurd per-iter {per*1000:.3f} ms — reloading "
+                  f"executable (attempt {tries + 1})", flush=True)
+            jax.clear_caches()
+            jax.block_until_ready(fn(m, q, s, o, c))
+            per = measure()
+            tries += 1
         print(f"{name}: compile+1st {compile_s:.1f}s, "
               f"per-iter {per * 1000:.2f} ms", flush=True)
         return fn
