@@ -156,7 +156,10 @@ def main():
         "features_dc": jnp.zeros((args.seed_points, 3)),
         "features_rest": jnp.zeros((args.seed_points, 0, 3)),
     }
-    capacity = 8192
+    # Start with headroom: every capacity doubling is a full recompile of
+    # the train/refine/eval step family (minutes each on the TPU tunnel);
+    # 32k covers the first ~3 doublings a 5k seed would otherwise hit.
+    capacity = 32768
     init = pad_to_capacity(init, capacity)
     alive = jnp.arange(capacity) < args.seed_points
 

@@ -54,6 +54,7 @@ def _sharded_render(mesh, m, q, s, o, c, cam, opts, send_cap):
             m, q, s, viewmat, cam.K, cam.width, cam.height,
             eps2d=opts.eps2d, near_plane=opts.near_plane,
             far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+            opacities=o,
         )
         out, _, _ = render_tile_sharded(
             proj, o, c, cam, opts, n_bands, send_cap
@@ -109,6 +110,7 @@ class TestTileSharded:
                 m, q, s, viewmat, cam.K, cam.width, cam.height,
                 eps2d=opts.eps2d, near_plane=opts.near_plane,
                 far_plane=opts.far_plane, radius_clip=opts.radius_clip,
+                opacities=o,
             )
             out, _, _ = render_tile_sharded(proj, o, c, cam, opts, n_bands, 256)
             # Full image on every member: average the psum'd local value.
