@@ -27,6 +27,16 @@ class RenderOptions:
     max_intersections: int | None = None   # global (gaussian, tile) pair budget
     tile_capacity: int | None = None       # per-tile front-to-back splat budget
 
+    # Exact ellipse-vs-tile-rect cull at binning time: the per-axis bbox
+    # (radius_xy) conservatively assigns a diagonal splat to corner tiles
+    # its alpha >= 1/255 ellipse never reaches; the cull drops those
+    # entries before the intersection sort.  Output-preserving by
+    # construction (splat_alpha zeroes them anyway) — it only frees
+    # tile-window slots (measured: -10% intersections, window spill
+    # halved on the 1M/720p bench scene) at the cost of ~30 fused flops
+    # per candidate entry.
+    ellipse_cull: bool = True
+
     # Depth ordering inside tiles: exact (global argsort ranks) or
     # quantized log-depth keys (skips the N-sort; ties between splats whose
     # depths agree to ~0.1% may order arbitrarily — visually and
@@ -48,6 +58,17 @@ class RenderOptions:
     # replay.  (A fully un-checkpointed loop keeps every [T,P,K]
     # intermediate live — measured 24.2 GB, an HBM OOM on v5e.)
     remat_compositing: bool = True
+
+    # Fused compositing VJP: ONE analytic custom VJP from the gathered
+    # per-splat matrix to the composited maps (core/compositing.
+    # fused_compositor).  Removes the [T,P,K] alphas/tpix cotangent
+    # tensors the narrow composite_chunk boundary forces into HBM and
+    # lets every elementwise chain fuse into its consuming reduction;
+    # the only [T,P,K] materializations left are the transmittance-scan
+    # and value-einsum matmul operands.  False falls back to the
+    # composite_chunk path (autodiff through splat_alpha), kept for
+    # differential testing; remat_compositing only applies there.
+    fused_vjp: bool = True
 
     # Remat the projection -> packed-per-gaussian chain: AD otherwise saves
     # ~16 [N,1]-shaped projection intermediates as residuals, which XLA

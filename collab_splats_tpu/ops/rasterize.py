@@ -142,7 +142,8 @@ def render_tiled_pallas(
     else:
         normal_cam = proj.normal
 
-    bins = bin_gaussians(proj, camera.width, camera.height, opts)
+    bins = bin_gaussians(proj, camera.width, camera.height, opts,
+                         opacities=jax.lax.stop_gradient(opac))
     ts = opts.tile_size
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
@@ -380,7 +381,8 @@ def render_from_projections(
     the all-gather's backward is the reduce-scatter that routes pixel
     gradients back to each Gaussian's owner).  See parallel/train.py.
     """
-    bins = bin_gaussians(proj, camera.width, camera.height, opts)
+    bins = bin_gaussians(proj, camera.width, camera.height, opts,
+                         opacities=jax.lax.stop_gradient(opac))
     ts = opts.tile_size
     ntx, nty = bins.num_tiles_x, bins.num_tiles_y
     num_tiles = ntx * nty
@@ -432,6 +434,44 @@ def render_from_projections(
     g_full = expand_rows(per_gauss, flat_idx, per_gauss.shape[0]).reshape(
         t_pad, k_cap, per_gauss.shape[1]
     )
+
+    if opts.fused_vjp:
+        from ..core.compositing import fused_compositor
+
+        fused = fused_compositor(opts.near_plane)
+        tile_mask_f = tile_mask.astype(g_full.dtype)
+
+        def chunk_body_fused(start):
+            msk = jax.lax.dynamic_slice(
+                tile_mask_f, (start, 0), (tile_chunk, k_cap))
+            tid = jax.lax.dynamic_slice(tile_ids, (start,), (tile_chunk,))
+            g = jax.lax.dynamic_slice(
+                g_full, (start, 0, 0), (tile_chunk, k_cap, g_full.shape[2]))
+            if sink is None:
+                snk = jnp.zeros((tile_chunk, k_cap, 2), g.dtype)
+            else:
+                snk = jax.lax.dynamic_slice(
+                    sink, (start, 0, 0), (tile_chunk, k_cap, 2))
+            txc = (tid % ntx).astype(jnp.float32)
+            tyc = (tid // ntx).astype(jnp.float32)
+            up = txc[:, None] * ts + px_u[None, :]
+            vp = tyc[:, None] * ts + px_v[None, :]
+            out_v, alpha_out, depth_acc, median = fused(g, snk, msk, up, vp)
+            # out_v channel order follows g's value columns: normal ++ colors.
+            normal = out_v[..., :3]
+            color = out_v[..., 3:]
+            if opts.normalize_depth:
+                depth_out = depth_acc / jnp.clip(alpha_out, 1e-10, None)
+            else:
+                depth_out = depth_acc
+            return color, alpha_out, depth_out, median, normal
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * tile_chunk
+        color, alpha, depth, median, normal = jax.lax.map(
+            chunk_body_fused, starts)
+        return _stitch_outputs(
+            color, alpha, depth, median, normal, bins, proj, camera,
+            num_tiles, t_pad, p, ts, ntx, nty)
 
     def chunk_body(start):
         msk = jax.lax.dynamic_slice(tile_mask, (start, 0), (tile_chunk, k_cap))
@@ -498,6 +538,14 @@ def render_from_projections(
             ),
         )
     color, alpha, depth, median, normal = jax.lax.map(body, starts)
+    return _stitch_outputs(
+        color, alpha, depth, median, normal, bins, proj, camera,
+        num_tiles, t_pad, p, ts, ntx, nty)
+
+
+def _stitch_outputs(color, alpha, depth, median, normal, bins, proj, camera,
+                    num_tiles, t_pad, p, ts, ntx, nty):
+    """Reassemble per-chunk packed tile maps into full [H, W, ...] images."""
 
     def stitch(x):
         # [n_chunks, TC, P, ...] -> [H, W, ...]
@@ -515,5 +563,6 @@ def render_from_projections(
         normal=stitch(normal),
         spilled=bins.spilled,
     )
-    meta = RenderMeta(proj=proj, bins=bins, width=camera.width, height=camera.height)
+    meta = RenderMeta(proj=proj, bins=bins, width=camera.width,
+                      height=camera.height)
     return out, meta

@@ -157,11 +157,45 @@ def tile_bbox(proj: Projection, num_tiles_x: int, num_tiles_y: int, tile_size: i
     return tx0, ty0, tx1, ty1
 
 
+def _min_sigma_rect(mean_u, mean_v, a, b, c, u0, u1, v0, v1):
+    """Exact min of sigma(du, dv) = .5(a du² + c dv²) + b du dv over the
+    rectangle [u0,u1]x[v0,v1] (pixel coords).
+
+    The unconstrained minimum (the splat center) has sigma = 0; when the
+    center lies outside the rect the constrained minimum is on one of the 4
+    edges, where one variable is fixed and the 1-D quadratic minimizer is
+    clamped to the segment.  Used by the binning ellipse cull: a tile whose
+    min sigma exceeds log(opac/ALPHA_CUTOFF) receives zero alpha at every
+    pixel (splat_alpha's cutoff), so the (gaussian, tile) entry is spurious.
+    """
+    du0, du1 = u0 - mean_u, u1 - mean_u
+    dv0, dv1 = v0 - mean_v, v1 - mean_v
+    inside = (du0 <= 0) & (du1 >= 0) & (dv0 <= 0) & (dv1 >= 0)
+
+    def sig(du, dv):
+        return 0.5 * (a * du * du + c * dv * dv) + b * du * dv
+
+    c_safe = jnp.maximum(c, 1e-12)
+    a_safe = jnp.maximum(a, 1e-12)
+    best = jnp.minimum(
+        jnp.minimum(
+            sig(du0, jnp.clip(-b * du0 / c_safe, dv0, dv1)),
+            sig(du1, jnp.clip(-b * du1 / c_safe, dv0, dv1)),
+        ),
+        jnp.minimum(
+            sig(jnp.clip(-b * dv0 / a_safe, du0, du1), dv0),
+            sig(jnp.clip(-b * dv1 / a_safe, du0, du1), dv1),
+        ),
+    )
+    return jnp.where(inside, 0.0, best)
+
+
 def bin_gaussians(
     proj: Projection,
     width: int,
     height: int,
     opts: RenderOptions,
+    opacities: jax.Array | None = None,
 ) -> TileBins:
     """Build per-tile depth-ordered Gaussian lists with static shapes.
 
@@ -249,7 +283,9 @@ def bin_gaussians(
 
     # One *row* gather for every per-gaussian field the expansion needs:
     # five separate 1-D gathers of M elements cost 18-49 ms EACH on TPU
-    # (profiled), while a single [M, 4] row gather is ~10x cheaper.
+    # (profiled), while a single [M, D] row gather is ~10x cheaper — and
+    # row-gather cost is per ROW, not per element, so the ellipse-cull
+    # columns below (f32 bitcast into the int32 matrix) ride along ~free.
     tile_bits = tile_bits_est
     rank_bits = rank_bits_est
     r_all = rank
@@ -257,10 +293,26 @@ def bin_gaussians(
         n_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
         if n_bits > rank_bits:
             r_all = r_all >> (n_bits - rank_bits)
-    packed = jnp.stack(
-        [offsets, ncols, ty0 * ntx + tx0, r_all], axis=1
-    )                                                   # [N, 4]
-    g = packed[gid]                                     # [M, 4]
+    cols = [offsets, ncols, ty0 * ntx + tx0, r_all]
+    if opts.ellipse_cull:
+        # Cull threshold: entries with min-over-tile sigma above
+        # log(opac / ALPHA_CUTOFF) contribute exactly 0 alpha at every
+        # pixel of the tile (splat_alpha zeroes them), so dropping them
+        # changes no output and frees tile-window slots.  With no
+        # opacities given, opac = 1 is a valid (weaker) upper bound.
+        from ..core.compositing import ALPHA_CUTOFF
+
+        if opacities is None:
+            thresh = jnp.full((n,), -np.log(ALPHA_CUTOFF), jnp.float32)
+        else:
+            thresh = jnp.log(
+                jnp.clip(opacities / ALPHA_CUTOFF, 1e-12, None))
+        bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+        cols += [bc(proj.mean2d[:, 0]), bc(proj.mean2d[:, 1]),
+                 bc(proj.conic[:, 0]), bc(proj.conic[:, 1]),
+                 bc(proj.conic[:, 2]), bc(thresh)]
+    packed = jnp.stack(cols, axis=1)                    # [N, 4(+6)]
+    g = packed[gid]                                     # [M, 4(+6)]
     local = slots - g[:, 0]
     g_ncols = g[:, 1]
     dy = local // g_ncols
@@ -268,7 +320,17 @@ def bin_gaussians(
     tile_id = g[:, 2] + dy * ntx + dx
     r = g[:, 3]
     key = (tile_id << rank_bits) | r
-    key = jnp.where(slot_valid, key, num_tiles << rank_bits)
+    keep_slot = slot_valid
+    if opts.ellipse_cull:
+        fc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+        tx = (tile_id % ntx).astype(jnp.float32) * ts
+        ty = (tile_id // ntx).astype(jnp.float32) * ts
+        min_sig = _min_sigma_rect(
+            fc(g[:, 4]), fc(g[:, 5]), fc(g[:, 6]), fc(g[:, 7]), fc(g[:, 8]),
+            tx, tx + ts, ty, ty + ts,
+        )
+        keep_slot = keep_slot & (min_sig <= fc(g[:, 9]))
+    key = jnp.where(keep_slot, key, num_tiles << rank_bits)
 
     sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
 

@@ -346,3 +346,65 @@ class TestCropBox:
 
         cfg = rade_gs.RadeGSConfig(prefilter_voxel=True)
         assert cfg.prefilter_voxel
+
+
+class TestEllipseCull:
+    """The exact ellipse-vs-tile cull is output-preserving: culled entries
+    have alpha < 1/255 at every pixel of their tile, which splat_alpha
+    zeroes anyway.  With no tile-window overflow the images must match
+    exactly; with a tight window the cull can only reduce spill."""
+
+    def _scene(self):
+        from collab_splats_tpu.core.sh import sh0_to_rgb
+        from collab_splats_tpu.data.synthetic import (
+            orbit_cameras, random_gaussian_params,
+        )
+
+        p = random_gaussian_params(jax.random.PRNGKey(11), 600)
+        cam = orbit_cameras(2, radius=2.5, width=80, height=64,
+                            focal=1.2 * 80)[0]
+        m = p["means"]
+        q = p["quats"]
+        s = jnp.exp(p["scales"]) * 3.0   # fat splats: corner tiles abound
+        o = jax.nn.sigmoid(p["opacities"][:, 0])
+        c = sh0_to_rgb(p["features_dc"])
+        return m, q, s, o, c, cam
+
+    def test_output_preserving_with_ample_window(self):
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        m, q, s, o, c, cam = self._scene()
+        outs = {}
+        for cull in (True, False):
+            opts = RenderOptions(tile_capacity=1024,
+                                 max_intersections=1 << 15,
+                                 ellipse_cull=cull)
+            out, _ = render_tiled(m, q, s, o, c, cam, opts)
+            outs[cull] = out
+        assert int(outs[True].spilled) == 0
+        for name in ("color", "alpha", "depth", "median_depth", "normal"):
+            # Culled (zero-alpha) entries shift later splats across
+            # scan-block boundaries, regrouping the blocked-matmul
+            # transmittance sums by ~1 ulp — allclose, not array_equal.
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs[True], name)),
+                np.asarray(getattr(outs[False], name)),
+                rtol=1e-5, atol=1e-6)
+
+    def test_cull_reduces_window_spill(self):
+        from collab_splats_tpu.core.options import RenderOptions
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        m, q, s, o, c, cam = self._scene()
+        spills = {}
+        for cull in (True, False):
+            opts = RenderOptions(tile_capacity=16,
+                                 max_intersections=1 << 15,
+                                 ellipse_cull=cull)
+            out, _ = render_tiled(m, q, s, o, c, cam, opts)
+            spills[cull] = int(out.spilled)
+        assert spills[True] <= spills[False]
+        # The scene's fat anisotropic splats make the cull strictly
+        # effective (measured ~10-30% of bbox entries are spurious).
+        assert spills[True] < spills[False]
