@@ -371,107 +371,117 @@ def fused_compositor(near_plane: float):
 
     def bwd(res, cot):
         g, sink, msk, up, vp, idx, t_total = res
-        g_v, g_alpha, g_depth, g_med = cot
-        # Recompute the forward chains; XLA fuses them into the consuming
-        # reductions (cum's scan is one extra MXU triangular matmul).
-        du, dv, sigma, alpha_raw, keep, log1m, cum, t_excl, w, tpix = (
-            _fused_fwd_common(g, sink, msk, up, vp, near_plane))
-
-        vals = g[..., _G_VALS:]
-        # r_k = dL/dw_k; s/suffix implement the back-to-front recurrence.
-        r = jnp.einsum("tpv,tkv->tpk", g_v, vals) + g_depth[..., None] * tpix
-        s = w * r
-        suffix = cumsum_mxu(s, reverse=True) - s
-        inv1m = jnp.exp(-log1m)   # 1/(1-alpha); ==1 at masked slots
-        d_alpha = (
-            t_excl * r
-            - suffix * inv1m
-            + (g_alpha * t_total)[..., None] * inv1m
-        )
-
-        # Median contribution to tpix (selection index is piecewise const).
-        g_med = jnp.where(t_total < 1.0, g_med, 0.0)
-        k = w.shape[-1]
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
-        onehot = (k_iota == idx[..., None]).astype(w.dtype)
-        d_tpix = w * g_depth[..., None] + g_med[..., None] * onehot
-        # tpix = clip(raw, near_plane, None): zero gradient where clamped.
-        tpix_raw = g[:, None, :, 5] + g[:, None, :, 6] * du \
-            + g[:, None, :, 7] * dv
-        d_tpix = jnp.where(tpix_raw >= near_plane, d_tpix, 0.0)
-
-        # Through alpha = where(keep, min(alpha_raw, MAX), 0).
-        d_alpha_raw = jnp.where(keep & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
-        d_opac_pk = d_alpha_raw * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
-        d_sigma = jnp.where(
-            (sigma >= 0.0) & (sigma <= 50.0), -alpha_raw * d_alpha_raw, 0.0
-        )
-
-        # Pixel reductions as MOMENT MATMULS.  du = up - mu is separable in
-        # (pixel, splat), so every per-splat gradient column is a linear
-        # combination of low-order pixel moments of d_sigma / d_tpix:
-        #
-        #   S_m = sum_p d_sigma * [1, u, v, u^2, u*v, v^2]_p     (6 moments)
-        #   T_m = sum_p d_tpix  * [1, u, v]_p                    (3 moments)
-        #
-        # computed as two batched [P,K]^T @ [P,m] einsums on the MXU.  As
-        # eight separate sum-over-p fusions these re-streamed the [T,P,K]
-        # chains from HBM eight times (profiled: the backward chunk loop
-        # regressed to 65 ms); as einsums, d_sigma and d_tpix materialize
-        # once each.  Pixel coordinates are TILE-LOCAL (offset by the
-        # tile's first pixel) so the moment recombination below cancels
-        # ~tile-sized rather than ~image-sized terms (f32-safe).
-        u0 = up[:, :1]                                  # [T, 1]
-        v0 = vp[:, :1]
-        up_l = up - u0                                  # [T, P] in [0, ts)
-        vp_l = vp - v0
-        basis = jnp.stack(
-            [jnp.ones_like(up_l), up_l, vp_l,
-             up_l * up_l, up_l * vp_l, vp_l * vp_l], axis=-1)   # [T, P, 6]
-        S = jnp.einsum("tpk,tpm->tkm", d_sigma, basis)          # [T, K, 6]
-        T3 = jnp.einsum("tpk,tpm->tkm", d_tpix, basis[..., :3])  # [T, K, 3]
-        s00, s10, s01 = S[..., 0], S[..., 1], S[..., 2]
-        s20, s11, s02 = S[..., 3], S[..., 4], S[..., 5]
-        t00, t10, t01 = T3[..., 0], T3[..., 1], T3[..., 2]
-
-        mu = (g[..., 0] + sink[..., 0]) - u0            # [T, K] tile-local
-        mv = (g[..., 1] + sink[..., 1]) - v0
-        ga = g[..., 2]
-        gb = g[..., 3]
-        gc = g[..., 4]
-        pu = g[..., 6]
-        pv = g[..., 7]
-        # sum_p d_sigma * du = s10 - mu*s00 (and dv analogously).
-        sdu = s10 - mu * s00
-        sdv = s01 - mv * s00
-        d_mean_u = -(ga * sdu + gb * sdv + pu * t00)
-        d_mean_v = -(gc * sdv + gb * sdu + pv * t00)
-        d_a = 0.5 * (s20 - 2.0 * mu * s10 + mu * mu * s00)
-        d_b = s11 - mu * s01 - mv * s10 + mu * mv * s00
-        d_c = 0.5 * (s02 - 2.0 * mv * s01 + mv * mv * s00)
-        d_depth = t00
-        d_plane_u = t10 - mu * t00
-        d_plane_v = t01 - mv * t00
-        d_opac = jnp.sum(d_opac_pk, axis=1)
-        d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v)
-
-        d_g = jnp.concatenate(
-            [
-                d_mean_u[..., None], d_mean_v[..., None],
-                d_a[..., None], d_b[..., None], d_c[..., None],
-                d_depth[..., None],
-                d_plane_u[..., None], d_plane_v[..., None],
-                d_opac[..., None],
-                d_vals,
-            ],
-            axis=-1,
-        )
-        d_sink = d_g[..., 0:2]
+        d_g, d_sink = fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total,
+                                       cot, near_plane)
         return (d_g, d_sink, jnp.zeros_like(msk),
                 jnp.zeros_like(up), jnp.zeros_like(vp))
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total, cot, near_plane):
+    """Analytic backward of the fused compositor (shared by the XLA and
+    Pallas-forward paths): recomputes the forward chains from ``g`` and
+    reduces pixel cotangents to per-(tile, splat) gradients via moment
+    matmuls.  Returns ``(d_g, d_sink)``."""
+    g_v, g_alpha, g_depth, g_med = cot
+    # Recompute the forward chains; XLA fuses them into the consuming
+    # reductions (cum's scan is one extra MXU triangular matmul).
+    du, dv, sigma, alpha_raw, keep, log1m, cum, t_excl, w, tpix = (
+        _fused_fwd_common(g, sink, msk, up, vp, near_plane))
+
+    vals = g[..., _G_VALS:]
+    # r_k = dL/dw_k; s/suffix implement the back-to-front recurrence.
+    r = jnp.einsum("tpv,tkv->tpk", g_v, vals) + g_depth[..., None] * tpix
+    s = w * r
+    suffix = cumsum_mxu(s, reverse=True) - s
+    inv1m = jnp.exp(-log1m)   # 1/(1-alpha); ==1 at masked slots
+    d_alpha = (
+        t_excl * r
+        - suffix * inv1m
+        + (g_alpha * t_total)[..., None] * inv1m
+    )
+
+    # Median contribution to tpix (selection index is piecewise const).
+    g_med = jnp.where(t_total < 1.0, g_med, 0.0)
+    k = w.shape[-1]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, w.shape, w.ndim - 1)
+    onehot = (k_iota == idx[..., None]).astype(w.dtype)
+    d_tpix = w * g_depth[..., None] + g_med[..., None] * onehot
+    # tpix = clip(raw, near_plane, None): zero gradient where clamped.
+    tpix_raw = g[:, None, :, 5] + g[:, None, :, 6] * du \
+        + g[:, None, :, 7] * dv
+    d_tpix = jnp.where(tpix_raw >= near_plane, d_tpix, 0.0)
+
+    # Through alpha = where(keep, min(alpha_raw, MAX), 0).
+    d_alpha_raw = jnp.where(keep & (alpha_raw < ALPHA_MAX), d_alpha, 0.0)
+    d_opac_pk = d_alpha_raw * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
+    d_sigma = jnp.where(
+        (sigma >= 0.0) & (sigma <= 50.0), -alpha_raw * d_alpha_raw, 0.0
+    )
+
+    # Pixel reductions as MOMENT MATMULS.  du = up - mu is separable in
+    # (pixel, splat), so every per-splat gradient column is a linear
+    # combination of low-order pixel moments of d_sigma / d_tpix:
+    #
+    #   S_m = sum_p d_sigma * [1, u, v, u^2, u*v, v^2]_p     (6 moments)
+    #   T_m = sum_p d_tpix  * [1, u, v]_p                    (3 moments)
+    #
+    # computed as two batched [P,K]^T @ [P,m] einsums on the MXU.  As
+    # eight separate sum-over-p fusions these re-streamed the [T,P,K]
+    # chains from HBM eight times (profiled: the backward chunk loop
+    # regressed to 65 ms); as einsums, d_sigma and d_tpix materialize
+    # once each.  Pixel coordinates are TILE-LOCAL (offset by the
+    # tile's first pixel) so the moment recombination below cancels
+    # ~tile-sized rather than ~image-sized terms (f32-safe).
+    u0 = up[:, :1]                                  # [T, 1]
+    v0 = vp[:, :1]
+    up_l = up - u0                                  # [T, P] in [0, ts)
+    vp_l = vp - v0
+    basis = jnp.stack(
+        [jnp.ones_like(up_l), up_l, vp_l,
+         up_l * up_l, up_l * vp_l, vp_l * vp_l], axis=-1)   # [T, P, 6]
+    S = jnp.einsum("tpk,tpm->tkm", d_sigma, basis)          # [T, K, 6]
+    T3 = jnp.einsum("tpk,tpm->tkm", d_tpix, basis[..., :3])  # [T, K, 3]
+    s00, s10, s01 = S[..., 0], S[..., 1], S[..., 2]
+    s20, s11, s02 = S[..., 3], S[..., 4], S[..., 5]
+    t00, t10, t01 = T3[..., 0], T3[..., 1], T3[..., 2]
+
+    mu = (g[..., 0] + sink[..., 0]) - u0            # [T, K] tile-local
+    mv = (g[..., 1] + sink[..., 1]) - v0
+    ga = g[..., 2]
+    gb = g[..., 3]
+    gc = g[..., 4]
+    pu = g[..., 6]
+    pv = g[..., 7]
+    # sum_p d_sigma * du = s10 - mu*s00 (and dv analogously).
+    sdu = s10 - mu * s00
+    sdv = s01 - mv * s00
+    d_mean_u = -(ga * sdu + gb * sdv + pu * t00)
+    d_mean_v = -(gc * sdv + gb * sdu + pv * t00)
+    d_a = 0.5 * (s20 - 2.0 * mu * s10 + mu * mu * s00)
+    d_b = s11 - mu * s01 - mv * s10 + mu * mv * s00
+    d_c = 0.5 * (s02 - 2.0 * mv * s01 + mv * mv * s00)
+    d_depth = t00
+    d_plane_u = t10 - mu * t00
+    d_plane_v = t01 - mv * t00
+    d_opac = jnp.sum(d_opac_pk, axis=1)
+    d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v)
+
+    d_g = jnp.concatenate(
+        [
+            d_mean_u[..., None], d_mean_v[..., None],
+            d_a[..., None], d_b[..., None], d_c[..., None],
+            d_depth[..., None],
+            d_plane_u[..., None], d_plane_v[..., None],
+            d_opac[..., None],
+            d_vals,
+        ],
+        axis=-1,
+    )
+    d_sink = d_g[..., 0:2]
+    return d_g, d_sink
 
 
 def composite(

@@ -70,6 +70,14 @@ class RenderOptions:
     # differential testing; remat_compositing only applies there.
     fused_vjp: bool = True
 
+    # Run the fused forward as the batched Pallas kernel
+    # (ops/pallas/batched.py): the alpha -> transmittance -> weight chain
+    # stays in VMEM and only the value-einsum weight matrix is written to
+    # HBM.  Requires fused_vjp; falls back to the XLA fused path off-TPU
+    # unless pallas_interpret is set.  The backward is the shared chunked
+    # moment backward either way.
+    pallas_batched: bool = False
+
     # Remat the projection -> packed-per-gaussian chain: AD otherwise saves
     # ~16 [N,1]-shaped projection intermediates as residuals, which XLA
     # stages through scoped memory in 128x-padded T(1,128) layouts —

@@ -435,6 +435,29 @@ def render_from_projections(
         t_pad, k_cap, per_gauss.shape[1]
     )
 
+    use_pallas_batched = opts.pallas_batched and (
+        opts.pallas_interpret or jax.default_backend() == "tpu")
+    if opts.fused_vjp and use_pallas_batched:
+        tile_mask_f = tile_mask.astype(g_full.dtype)
+        snk_full = sink if sink is not None \
+            else jnp.zeros((t_pad, k_cap, 2), g_full.dtype)
+        f = _pallas_fused(opts.near_plane, ntx, ts, opts.pallas_interpret,
+                          tile_chunk)
+        out_v, alpha, depth_acc, median = f(g_full, snk_full, tile_mask_f)
+        normal = out_v[..., :3]
+        color = out_v[..., 3:]
+        if opts.normalize_depth:
+            depth = depth_acc / jnp.clip(alpha, 1e-10, None)
+        else:
+            depth = depth_acc
+        # _stitch_outputs expects per-chunk stacking; fold the tile axis.
+        def chunked(x):
+            return x.reshape((n_chunks, tile_chunk) + x.shape[1:])
+        return _stitch_outputs(
+            chunked(color), chunked(alpha), chunked(depth), chunked(median),
+            chunked(normal), bins, proj, camera,
+            num_tiles, t_pad, p, ts, ntx, nty)
+
     if opts.fused_vjp:
         from ..core.compositing import fused_compositor
 
@@ -541,6 +564,72 @@ def render_from_projections(
     return _stitch_outputs(
         color, alpha, depth, median, normal, bins, proj, camera,
         num_tiles, t_pad, p, ts, ntx, nty)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_fused(near_plane: float, ntx: int, ts: int, interpret: bool,
+                  tile_chunk: int):
+    """Custom VJP pairing the batched Pallas compositing forward
+    (ops/pallas/batched.py: whole-image kernel, VMEM-resident chain, one
+    [T,P,K] output — the value-einsum weight matrix) with the shared
+    chunked moment backward (core/compositing.fused_bwd_from_g)."""
+    from ..core.compositing import fused_bwd_from_g
+    from .pallas.batched import composite_batched_fwd
+
+    p = ts * ts
+
+    def _forward(g_full, sink, msk):
+        g_geo = g_full[..., :9].at[..., 0:2].add(sink)
+        g_t = jnp.moveaxis(g_geo, -1, 0)               # [9, T_pad, K]
+        w, alpha, depth_acc, median, idx = composite_batched_fwd(
+            g_t, msk, ntx=ntx, ts=ts, near_plane=near_plane,
+            interpret=interpret)
+        out_v = jnp.einsum("tpk,tkv->tpv", w, g_full[..., 9:])
+        return (out_v, alpha, depth_acc, median), idx
+
+    @jax.custom_vjp
+    def f(g_full, sink, msk):
+        out, _ = _forward(g_full, sink, msk)
+        return out
+
+    def fwd(g_full, sink, msk):
+        out, idx = _forward(g_full, sink, msk)
+        t_total = 1.0 - out[1]
+        return out, (g_full, sink, msk, idx, t_total)
+
+    def bwd(res, cot):
+        g_full, sink, msk, idx, t_total = res
+        t_pad, k_cap = msk.shape
+        n_chunks = t_pad // tile_chunk
+        tile_ids = jnp.arange(t_pad, dtype=jnp.int32)
+        px_u = (jnp.arange(p, dtype=jnp.float32) % ts) + 0.5
+        px_v = (jnp.arange(p, dtype=jnp.float32) // ts) + 0.5
+
+        def body(start):
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, tile_chunk, 0)
+
+            tid = jax.lax.dynamic_slice(tile_ids, (start,), (tile_chunk,))
+            txc = (tid % ntx).astype(jnp.float32)
+            tyc = (tid // ntx).astype(jnp.float32)
+            up = txc[:, None] * ts + px_u[None, :]
+            vp = tyc[:, None] * ts + px_v[None, :]
+            ct = tuple(sl(c) for c in cot)
+            return fused_bwd_from_g(
+                sl(g_full), sl(sink), sl(msk), up, vp, sl(idx),
+                sl(t_total), ct, near_plane)
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * tile_chunk
+        d_g, d_sink = jax.lax.map(body, starts)
+        d = g_full.shape[-1]
+        return (d_g.reshape(t_pad, k_cap, d),
+                d_sink.reshape(t_pad, k_cap, 2), jnp.zeros_like(msk))
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def _stitch_outputs(color, alpha, depth, median, normal, bins, proj, camera,

@@ -112,3 +112,70 @@ class TestPallasBackward:
                 np.asarray(gp) / scale, np.asarray(gr) / scale,
                 atol=1e-5, err_msg=f"gradient mismatch on {name}",
             )
+
+
+class TestBatchedCompositor:
+    """The batched Pallas forward (ops/pallas/batched.py, interpret mode on
+    CPU) against the XLA fused path, forward and gradients."""
+
+    def _scene(self, n=500):
+        from collab_splats_tpu.core.sh import sh0_to_rgb
+        from collab_splats_tpu.data.synthetic import (
+            orbit_cameras, random_gaussian_params,
+        )
+
+        p = random_gaussian_params(jax.random.PRNGKey(5), n)
+        # 64x64 at ts=16 -> 16 tiles; padded to TC=32 chunks internally.
+        cam = orbit_cameras(2, radius=2.5, width=128, height=128,
+                            focal=1.3 * 128)[0]
+        m = p["means"]
+        q = p["quats"]
+        s = jnp.exp(p["scales"])
+        o = jax.nn.sigmoid(p["opacities"][:, 0])
+        c = sh0_to_rgb(p["features_dc"])
+        return m, q, s, o, c, cam
+
+    def _opts(self, pallas):
+        from collab_splats_tpu.core.options import RenderOptions
+
+        return RenderOptions(tile_capacity=128, max_intersections=1 << 14,
+                             pallas_batched=pallas, pallas_interpret=pallas,
+                             tile_size=16)
+
+    def test_forward_matches_xla_fused(self):
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        m, q, s, o, c, cam = self._scene()
+        a, _ = render_tiled(m, q, s, o, c, cam, self._opts(True),
+                            tile_chunk=32)
+        b, _ = render_tiled(m, q, s, o, c, cam, self._opts(False),
+                            tile_chunk=32)
+        for name in ("color", "alpha", "depth", "median_depth", "normal"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_gradients_match_xla_fused(self):
+        import functools
+
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        m, q, s, o, c, cam = self._scene()
+
+        def loss(pallas, m, o, c):
+            out, _ = render_tiled(m, q, s, o, c, cam, self._opts(pallas),
+                                  tile_chunk=32)
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.depth)
+                    + jnp.sum(out.alpha) + jnp.sum(out.median_depth)
+                    + jnp.sum(out.normal))
+
+        gp = jax.grad(functools.partial(loss, True), argnums=(0, 1, 2))(
+            m, o, c)
+        gx = jax.grad(functools.partial(loss, False), argnums=(0, 1, 2))(
+            m, o, c)
+        for a, b, name in zip(gp, gx, ("means", "opac", "colors")):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            scale = max(np.abs(b).max(), 1.0)
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5 * scale,
+                                       err_msg=name)
