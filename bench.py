@@ -52,13 +52,16 @@ def main():
                            focal=1.0 * width)[0]
     opts = RenderOptions(
         rasterize_mode="antialiased",
-        # 5<<19 = 2.62M: the scene generates ~2.27M intersections with the
-        # per-axis opacity-aware bbox (core/projection.radius_xy), so this
-        # leaves ~15% headroom and the bench measures with ZERO dropped
-        # work — at a fraction of the binning cost of the 8N default
-        # (m_cap-proportional sort/gathers).  The emitted JSON carries the
-        # spill count; the run aborts the honesty claim if it ever rises.
-        max_intersections=5 << 19,
+        # 1<<21 = 2.10M: the scene generates ~1.77M bbox intersections with
+        # the per-axis opacity-aware bbox (core/projection.radius_xy), so
+        # the global buffer never drops work — at a fraction of the binning
+        # cost of the 8N default (m_cap-proportional sort/gathers).  The
+        # remaining nonzero spill in the JSON is the per-tile K=512 window
+        # cut of depth-sorted tails in saturated tiles (the ellipse cull
+        # removes the zero-contribution part); its pixel effect is bounded
+        # at 72-77 dB PSNR vs K=1024 (scripts/tile_capacity_ab.py,
+        # PARITY.md "window-cut honesty").
+        max_intersections=1 << 21,
         tile_capacity=512,
         backend=backend,
         # Quantized log-depth keys: skips the global depth argsort; ordering

@@ -180,5 +180,11 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             pltpu.VMEM((TC, p), jnp.float32),   # median value
             pltpu.VMEM((TC, p), jnp.int32),     # median index
         ],
+        # ~10 live [TC*P, KB] f32 temporaries (~4.2 MB each at TC=32) plus
+        # double-buffered blocks: the 16 MB default scoped-vmem limit OOMs.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * (1 << 20),
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(g_geo, mask)

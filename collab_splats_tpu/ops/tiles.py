@@ -93,7 +93,7 @@ def align_segments(
 
 
 def windowed_gather(src: jax.Array, starts: jax.Array, k_cap: int,
-                    block: int = 8) -> jax.Array:
+                    block: int = 32) -> jax.Array:
     """Gather contiguous windows ``src[starts[t] : starts[t] + k_cap]`` for
     every ``t`` — the tile-capacity window cut — without an element gather.
 
@@ -118,7 +118,8 @@ def windowed_gather(src: jax.Array, starts: jax.Array, k_cap: int,
         [T, k_cap] gathered values; lanes past the end of ``src`` read
         padding zeros (callers mask with ``win < ends`` as before).
     """
-    assert k_cap % block == 0
+    while k_cap % block and block > 1:
+        block //= 2
     m = src.shape[0]
     t = starts.shape[0]
     j = k_cap // block

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--forward-only", action="store_true",
                     help="skip the fwd+bwd loop; --profile then traces the "
                          "forward loop")
+    ap.add_argument("--pallas-batched", action="store_true",
+                    help="fused forward via the batched Pallas kernel")
     ap.add_argument("--no-remat-compositing", action="store_true",
                     help="store analytic-VJP residuals across the chunk loop "
                          "instead of rematting each chunk's forward")
@@ -64,6 +66,7 @@ def main():
     opts = RenderOptions(rasterize_mode="antialiased",
                          max_intersections=1 << 21, tile_capacity=512,
                          backend="xla", exact_binning=False,
+                         pallas_batched=args.pallas_batched,
                          remat_compositing=not args.no_remat_compositing)
 
     def render_sum(m, q, s, o, c):
