@@ -124,9 +124,16 @@ def main():
         compile_s = time.time() - t0
 
         def measure():
-            t0 = time.time()
-            jax.block_until_ready(fn(m, q, s, o, c))
-            return (time.time() - t0) / reps
+            # Best of 3: the shared tunnel chip shows run-to-run variance,
+            # and a degraded relay/compile service (observed once at a
+            # round boundary: 78 ms re-measured as 1930 ms) inflates every
+            # sample — min is the honest device-time estimate.
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                jax.block_until_ready(fn(m, q, s, o, c))
+                best = min(best, (time.time() - t0) / reps)
+            return best
 
         per = measure()
         # Corrupt-executable guard: the remote compile service occasionally
@@ -167,6 +174,7 @@ def main():
         "vs_baseline": round(pps / nominal_baseline_pps, 4),
         "binning_spill": spill,
         "step_ms": round(bwd_t * 1000, 2),
+        "compile_s": round(fwd_compile + bwd_compile, 1),
     }))
 
 

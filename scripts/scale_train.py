@@ -98,8 +98,16 @@ def main():
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--seed-points", type=int, default=5000)
     ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the env var "
+                         "alone is not honored with the axon plugin)")
+    ap.add_argument("--capacity", type=int, default=32768,
+                    help="initial gaussian capacity (recompile headroom)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -159,7 +167,7 @@ def main():
     # Start with headroom: every capacity doubling is a full recompile of
     # the train/refine/eval step family (minutes each on the TPU tunnel);
     # 32k covers the first ~3 doublings a 5k seed would otherwise hit.
-    capacity = 32768
+    capacity = max(args.capacity, args.seed_points)
     init = pad_to_capacity(init, capacity)
     alive = jnp.arange(capacity) < args.seed_points
 

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--no-remat-compositing", action="store_true",
                     help="store analytic-VJP residuals across the chunk loop "
                          "instead of rematting each chunk's forward")
+    ap.add_argument("--no-fused-vjp", action="store_true",
+                    help="legacy composite_chunk path instead of the fused "
+                         "analytic compositing VJP")
+    ap.add_argument("--no-ellipse-cull", action="store_true",
+                    help="disable the exact ellipse-vs-tile-rect binning cull")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +72,9 @@ def main():
                          max_intersections=1 << 21, tile_capacity=512,
                          backend="xla", exact_binning=False,
                          pallas_batched=args.pallas_batched,
-                         remat_compositing=not args.no_remat_compositing)
+                         remat_compositing=not args.no_remat_compositing,
+                         fused_vjp=not args.no_fused_vjp,
+                         ellipse_cull=not args.no_ellipse_cull)
 
     def render_sum(m, q, s, o, c):
         out, _ = render_tiled(m, q, s, o, c, camera, opts)
