@@ -1,6 +1,8 @@
 """Pallas kernel tests (interpret mode on CPU): pixel + gradient parity
 against the XLA tiled path, which itself matches the golden renderer."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,7 +99,13 @@ class TestPallasBackward:
                 )
             return loss
 
-        ref_fn = lambda *a: render_tiled(*a, cam, OPTS)[0]
+        # Compare against the legacy composite_chunk path: the per-tile
+        # Pallas kernel's VJP mirrors that recurrence term-for-term, while
+        # the fused-VJP default reduces pixel moments via tile-local matmul
+        # recombination that differs by a few f32 ulps (pinned against the
+        # legacy path separately in test_composite_vjp.py).
+        legacy = dataclasses.replace(OPTS, fused_vjp=False)
+        ref_fn = lambda *a: render_tiled(*a, cam, legacy)[0]
         pal_fn = lambda *a: render_tiled_pallas(
             *a, cam, OPTS, stop_threshold=0.0, interpret=True
         )[0]
