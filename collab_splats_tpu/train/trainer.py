@@ -245,6 +245,9 @@ class Trainer:
             "loss": loss,
             "psnr": losses.psnr(outputs["rgb"], image),
             "spilled": outputs["spilled"],
+            # In-graph so the host loop needs no separate num_alive
+            # dispatch per step (a per-op round trip over the TPU tunnel).
+            "num_gaussians": jnp.sum(alive.astype(jnp.int32)),
             **ldict,
         }
         return params, opt_state, strat_state, metrics
@@ -343,8 +346,10 @@ class Trainer:
                 self.opt_state, "opacities"
             )
 
-        out = {k: float(v) for k, v in metrics.items()}
-        out["num_gaussians"] = int(num_alive(self.alive))
+        # ONE device->host transfer for the whole metrics dict: per-key
+        # float() costs a tunnel round trip each.
+        out = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        out["num_gaussians"] = int(out["num_gaussians"])
         self.history.append(out)
         return out
 
