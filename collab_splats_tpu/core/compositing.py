@@ -444,6 +444,28 @@ def fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total, cot, near_plane):
          up_l * up_l, up_l * vp_l, vp_l * vp_l], axis=-1)   # [T, P, 6]
     S = jnp.einsum("tpk,tpm->tkm", d_sigma, basis)          # [T, K, 6]
     T3 = jnp.einsum("tpk,tpm->tkm", d_tpix, basis[..., :3])  # [T, K, 3]
+    d_opac = jnp.sum(d_opac_pk, axis=1)
+    d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v)
+    return moments_to_dg(g, sink, S, T3, d_opac, d_vals, u0, v0)
+
+
+def moments_to_dg(g, sink, S, T3, d_opac, d_vals, u0, v0):
+    """Recombine tile-local pixel moments into per-splat gradients.
+
+    Shared tail of the fused backward: the XLA path computes the moments
+    with two einsums, the batched Pallas backward kernel
+    (ops/pallas/batched_bwd.py) reduces them in VMEM — both end here.
+
+    Args:
+        g: [T, K, 9 + V] gathered per-splat rows; sink [T, K, 2].
+        S: [T, K, 6] moments of d_sigma against (1, u, v, u², uv, v²).
+        T3: [T, K, 3] moments of d_tpix against (1, u, v).
+        d_opac: [T, K]; d_vals: [T, K, V].
+        u0, v0: [T, 1] tile-local pixel origin (first pixel center).
+
+    Returns:
+        (d_g [T, K, 9 + V], d_sink [T, K, 2]).
+    """
     s00, s10, s01 = S[..., 0], S[..., 1], S[..., 2]
     s20, s11, s02 = S[..., 3], S[..., 4], S[..., 5]
     t00, t10, t01 = T3[..., 0], T3[..., 1], T3[..., 2]
@@ -466,8 +488,6 @@ def fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total, cot, near_plane):
     d_depth = t00
     d_plane_u = t10 - mu * t00
     d_plane_v = t01 - mv * t00
-    d_opac = jnp.sum(d_opac_pk, axis=1)
-    d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v)
 
     d_g = jnp.concatenate(
         [

@@ -78,6 +78,13 @@ class RenderOptions:
     # moment backward either way.
     pallas_batched: bool = False
 
+    # With pallas_batched: run the backward as the batched Pallas kernel
+    # too (ops/pallas/batched_bwd.py — back-to-front suffix walk over the
+    # forward-banked per-block transmittance prefixes, VMEM-resident,
+    # writes only per-splat moment reductions).  False keeps the chunked
+    # XLA moment backward for A/B.
+    pallas_batched_bwd: bool = True
+
     # Remat the projection -> packed-per-gaussian chain: AD otherwise saves
     # ~16 [N,1]-shaped projection intermediates as residuals, which XLA
     # stages through scoped memory in 128x-padded T(1,128) layouts —

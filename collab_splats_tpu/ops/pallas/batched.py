@@ -51,7 +51,7 @@ def _tri_le() -> jax.Array:
 
 
 def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
-                idx_ref, carry, dacc, bkey, bval, bidx, *,
+                idx_ref, blk_ref, carry, dacc, bkey, bval, bidx, *,
                 ntx: int, ts: int, near_plane: float, k_total: int,
                 nb: int):
     i = pl.program_id(0)
@@ -92,6 +92,9 @@ def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(TC, p, KB)
     cprev = carry[:, :].reshape(TC, p, 1)
+    # Bank the block's prefix log-transmittance: the batched backward
+    # kernel (batched_bwd.py) walks blocks back to front and needs it.
+    blk_ref[:, 0, :] = carry[:, :]
     t_excl = jnp.exp(cprev + cum - lg)
     w = alpha * t_excl
     w_ref[:, :, :] = w
@@ -141,7 +144,9 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
 
     Returns:
         (w [T_pad, P, K], alpha [T_pad, P], depth_acc [T_pad, P],
-        median [T_pad, P], med_idx [T_pad, P] i32).
+        median [T_pad, P], med_idx [T_pad, P] i32,
+        blk_cum [T_pad, nb, P] per-block prefix log-transmittance — the
+        banked residual the batched backward kernel consumes).
     """
     _, t_pad, k = g_geo.shape
     assert t_pad % TC == 0 and k % KB == 0, (t_pad, k)
@@ -165,6 +170,7 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
+            pl.BlockSpec((TC, 1, p), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, p, k), jnp.float32),
@@ -172,6 +178,7 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, nb, p), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((TC, p), jnp.float32),   # carry (log transmittance)

@@ -442,7 +442,7 @@ def render_from_projections(
         snk_full = sink if sink is not None \
             else jnp.zeros((t_pad, k_cap, 2), g_full.dtype)
         f = _pallas_fused(opts.near_plane, ntx, ts, opts.pallas_interpret,
-                          tile_chunk)
+                          tile_chunk, pallas_bwd=opts.pallas_batched_bwd)
         out_v, alpha, depth_acc, median = f(g_full, snk_full, tile_mask_f)
         normal = out_v[..., :3]
         color = out_v[..., 3:]
@@ -571,12 +571,14 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _pallas_fused(near_plane: float, ntx: int, ts: int, interpret: bool,
-                  tile_chunk: int):
+                  tile_chunk: int, pallas_bwd: bool = True):
     """Custom VJP pairing the batched Pallas compositing forward
     (ops/pallas/batched.py: whole-image kernel, VMEM-resident chain, one
-    [T,P,K] output — the value-einsum weight matrix) with the shared
-    chunked moment backward (core/compositing.fused_bwd_from_g)."""
-    from ..core.compositing import fused_bwd_from_g
+    [T,P,K] output — the value-einsum weight matrix) with either the
+    batched Pallas backward (ops/pallas/batched_bwd.py: back-to-front
+    suffix walk, VMEM-resident, writes only per-splat moments) or the
+    chunked XLA moment backward (core/compositing.fused_bwd_from_g)."""
+    from ..core.compositing import fused_bwd_from_g, moments_to_dg
     from .pallas.batched import composite_batched_fwd
 
     p = ts * ts
@@ -584,24 +586,46 @@ def _pallas_fused(near_plane: float, ntx: int, ts: int, interpret: bool,
     def _forward(g_full, sink, msk):
         g_geo = g_full[..., :9].at[..., 0:2].add(sink)
         g_t = jnp.moveaxis(g_geo, -1, 0)               # [9, T_pad, K]
-        w, alpha, depth_acc, median, idx = composite_batched_fwd(
+        w, alpha, depth_acc, median, idx, blk_cum = composite_batched_fwd(
             g_t, msk, ntx=ntx, ts=ts, near_plane=near_plane,
             interpret=interpret)
         out_v = jnp.einsum("tpk,tkv->tpv", w, g_full[..., 9:])
-        return (out_v, alpha, depth_acc, median), idx
+        return (out_v, alpha, depth_acc, median), idx, blk_cum
 
     @jax.custom_vjp
     def f(g_full, sink, msk):
-        out, _ = _forward(g_full, sink, msk)
+        out, _, _ = _forward(g_full, sink, msk)
         return out
 
     def fwd(g_full, sink, msk):
-        out, idx = _forward(g_full, sink, msk)
+        out, idx, blk_cum = _forward(g_full, sink, msk)
         t_total = 1.0 - out[1]
-        return out, (g_full, sink, msk, idx, t_total)
+        return out, (g_full, sink, msk, idx, t_total, blk_cum)
 
-    def bwd(res, cot):
-        g_full, sink, msk, idx, t_total = res
+    def bwd_pallas(res, cot):
+        from .pallas.batched_bwd import composite_batched_bwd
+
+        g_full, sink, msk, idx, t_total, blk_cum = res
+        t_pad, k_cap = msk.shape
+        g_v, g_alpha, g_depth, g_med = cot
+        g_geo = g_full[..., :9].at[..., 0:2].add(sink)
+        s6, t3, d_opac, d_vals = composite_batched_bwd(
+            jnp.moveaxis(g_geo, -1, 0),
+            jnp.moveaxis(g_full[..., 9:], -1, 0),
+            msk, blk_cum,
+            jnp.moveaxis(g_v, -1, 0),
+            g_alpha, g_depth, g_med, idx, t_total,
+            ntx=ntx, ts=ts, near_plane=near_plane, interpret=interpret)
+        tid = jnp.arange(t_pad, dtype=jnp.int32)
+        u0 = ((tid % ntx) * ts).astype(jnp.float32)[:, None] + 0.5
+        v0 = ((tid // ntx) * ts).astype(jnp.float32)[:, None] + 0.5
+        d_g, d_sink = moments_to_dg(
+            g_full, sink, jnp.moveaxis(s6, 0, -1), jnp.moveaxis(t3, 0, -1),
+            d_opac, jnp.moveaxis(d_vals, 0, -1), u0, v0)
+        return d_g, d_sink, jnp.zeros_like(msk)
+
+    def bwd_xla(res, cot):
+        g_full, sink, msk, idx, t_total, blk_cum = res
         t_pad, k_cap = msk.shape
         n_chunks = t_pad // tile_chunk
         tile_ids = jnp.arange(t_pad, dtype=jnp.int32)
@@ -628,7 +652,7 @@ def _pallas_fused(near_plane: float, ntx: int, ts: int, interpret: bool,
         return (d_g.reshape(t_pad, k_cap, d),
                 d_sink.reshape(t_pad, k_cap, 2), jnp.zeros_like(msk))
 
-    f.defvjp(fwd, bwd)
+    f.defvjp(fwd, bwd_pallas if pallas_bwd else bwd_xla)
     return f
 
 
