@@ -42,8 +42,13 @@ def main():
     width, height = 1280, 720
     reps = 10   # in-graph repetitions: amortizes host<->device dispatch
     backend = os.environ.get("BENCH_BACKEND", "xla")  # "xla" | "pallas"
+    # Batched Pallas compositing kernels (fwd + bwd pair, ops/pallas/
+    # batched*.py) on the XLA-orchestrated path; falls back to the XLA
+    # fused compositor off-TPU.  BENCH_PALLAS_BATCHED=0 disables.
+    pallas_batched = os.environ.get("BENCH_PALLAS_BATCHED", "1") != "0"
     log(f"bench: {n} gaussians, {width}x{height}, "
-        f"platform={jax.default_backend()}, raster backend={backend}")
+        f"platform={jax.default_backend()}, raster backend={backend}, "
+        f"pallas_batched={pallas_batched}")
 
     key = jax.random.PRNGKey(0)
     params = random_gaussian_params(key, n, extent=1.5,
@@ -64,6 +69,7 @@ def main():
         max_intersections=1 << 21,
         tile_capacity=512,
         backend=backend,
+        pallas_batched=pallas_batched,
         # Quantized log-depth keys: skips the global depth argsort; ordering
         # of near-equal depths is arbitrary (same regime where CUDA float
         # radix keys stop discriminating). ~9% faster binning at 1M.

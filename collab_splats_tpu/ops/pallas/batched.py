@@ -131,8 +131,6 @@ def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
         idx_ref[:, :] = bidx[:, :]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("ntx", "ts", "near_plane", "interpret"))
 def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
                           near_plane: float, interpret: bool = False):
     """Run the batched forward kernel.

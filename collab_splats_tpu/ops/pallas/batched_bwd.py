@@ -151,8 +151,6 @@ def _bwd_kernel(g_ref, vals_ref, msk_ref, cprev_ref, gv_ref, ga_ref, gd_ref,
         dvals_ref[v, :, :] = mom(w, gv_ref[v, :, :].reshape(TC, p, 1))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ntx", "ts", "near_plane", "interpret"))
 def composite_batched_bwd(g_geo, vals_t, mask, blk_cum, gv_t, g_alpha,
                           g_depth, g_med, idx, t_total, *, ntx: int, ts: int,
                           near_plane: float, interpret: bool = False):

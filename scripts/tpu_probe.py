@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--no-remat-compositing", action="store_true",
                     help="store analytic-VJP residuals across the chunk loop "
                          "instead of rematting each chunk's forward")
+    ap.add_argument("--no-pallas-bwd", action="store_true",
+                    help="with --pallas-batched: keep the chunked XLA "
+                         "moment backward instead of the batched Pallas "
+                         "backward kernel")
     ap.add_argument("--no-fused-vjp", action="store_true",
                     help="legacy composite_chunk path instead of the fused "
                          "analytic compositing VJP")
@@ -72,6 +76,7 @@ def main():
                          max_intersections=1 << 21, tile_capacity=512,
                          backend="xla", exact_binning=False,
                          pallas_batched=args.pallas_batched,
+                         pallas_batched_bwd=not args.no_pallas_bwd,
                          remat_compositing=not args.no_remat_compositing,
                          fused_vjp=not args.no_fused_vjp,
                          ellipse_cull=not args.no_ellipse_cull)
