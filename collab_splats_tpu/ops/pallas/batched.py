@@ -94,7 +94,9 @@ def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
     cprev = carry[:, :].reshape(TC, p, 1)
     # Bank the block's prefix log-transmittance: the batched backward
     # kernel (batched_bwd.py) walks blocks back to front and needs it.
-    blk_ref[:, 0, :] = carry[:, :]
+    # Layout [nb, T_pad, P] (nb leading) so the block's trailing two dims
+    # stay (TC, P) — Mosaic requires them (8, 128)-divisible.
+    blk_ref[0, :, :] = carry[:, :]
     t_excl = jnp.exp(cprev + cum - lg)
     w = alpha * t_excl
     w_ref[:, :, :] = w
@@ -143,7 +145,7 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
     Returns:
         (w [T_pad, P, K], alpha [T_pad, P], depth_acc [T_pad, P],
         median [T_pad, P], med_idx [T_pad, P] i32,
-        blk_cum [T_pad, nb, P] per-block prefix log-transmittance — the
+        blk_cum [nb, T_pad, P] per-block prefix log-transmittance — the
         banked residual the batched backward kernel consumes).
     """
     _, t_pad, k = g_geo.shape
@@ -168,7 +170,7 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
-            pl.BlockSpec((TC, 1, p), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, TC, p), lambda i, j: (j, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, p, k), jnp.float32),
@@ -176,7 +178,7 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.int32),
-            jax.ShapeDtypeStruct((t_pad, nb, p), jnp.float32),
+            jax.ShapeDtypeStruct((nb, t_pad, p), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((TC, p), jnp.float32),   # carry (log transmittance)

@@ -87,7 +87,7 @@ def _bwd_kernel(g_ref, vals_ref, msk_ref, cprev_ref, gv_ref, ga_ref, gd_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(TC, p, KB)
-    cprev = cprev_ref[:, 0, :].reshape(TC, p, 1)         # banked prefix
+    cprev = cprev_ref[0, :, :].reshape(TC, p, 1)         # banked prefix
     t_excl = jnp.exp(cprev + cum - lg)
     w = alpha * t_excl
     tpix_raw = row(5) + row(6) * du + row(7) * dv
@@ -160,7 +160,7 @@ def composite_batched_bwd(g_geo, vals_t, mask, blk_cum, gv_t, g_alpha,
         g_geo: [9, T_pad, K] f32 geometry rows (PG layout, sink pre-added).
         vals_t: [V, T_pad, K] f32 value channels (normal ++ colors).
         mask: [T_pad, K] f32 validity.
-        blk_cum: [T_pad, nb, P] f32 per-block prefix log-transmittance
+        blk_cum: [nb, T_pad, P] f32 per-block prefix log-transmittance
             (the batched forward kernel's banked residual).
         gv_t: [V, T_pad, P] f32 cotangent of out_v.
         g_alpha, g_depth, g_med: [T_pad, P] f32 cotangents.
@@ -191,7 +191,7 @@ def composite_batched_bwd(g_geo, vals_t, mask, blk_cum, gv_t, g_alpha,
             pl.BlockSpec((9, TC, KB), rev),
             pl.BlockSpec((nv, TC, KB), rev),
             pl.BlockSpec((TC, KB), rev2),
-            pl.BlockSpec((TC, 1, p), lambda i, j: (i, nb - 1 - j, 0)),
+            pl.BlockSpec((1, TC, p), lambda i, j: (nb - 1 - j, i, 0)),
             pl.BlockSpec((nv, TC, p), lambda i, j: (0, i, 0)),
             pl.BlockSpec((TC, p), pin),
             pl.BlockSpec((TC, p), pin),
