@@ -98,6 +98,8 @@ def main():
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--seed-points", type=int, default=5000)
     ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--pallas-batched", action="store_true",
+                    help="batched Pallas compositing kernels (fwd+bwd pair)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests; the env var "
                          "alone is not honored with the axon plugin)")
@@ -129,6 +131,7 @@ def main():
     render_opts = RenderOptions(
         rasterize_mode="antialiased",
         exact_binning=bool(args.exact_binning),
+        pallas_batched=bool(args.pallas_batched),
     )
     cfg = rade_gs.RadeGSConfig(
         sh_degree=0, background="random", render=render_opts,
