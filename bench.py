@@ -44,8 +44,11 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "xla")  # "xla" | "pallas"
     # Batched Pallas compositing kernels (fwd + bwd pair, ops/pallas/
     # batched*.py) on the XLA-orchestrated path; falls back to the XLA
-    # fused compositor off-TPU.  BENCH_PALLAS_BATCHED=0 disables.
-    pallas_batched = os.environ.get("BENCH_PALLAS_BATCHED", "1") != "0"
+    # fused compositor off-TPU.  Hardware-measured perf-neutral vs the
+    # XLA fused compositor at 1M/720p (76.8 vs 77.9 ms fwd, 161.8 vs
+    # 162.8 ms step — compositing is no longer the bottleneck), so the
+    # simpler XLA path stays the default.  BENCH_PALLAS_BATCHED=1 enables.
+    pallas_batched = os.environ.get("BENCH_PALLAS_BATCHED", "0") == "1"
     log(f"bench: {n} gaussians, {width}x{height}, "
         f"platform={jax.default_backend()}, raster backend={backend}, "
         f"pallas_batched={pallas_batched}")
