@@ -132,8 +132,11 @@ def expand_bwd_pallas(n: int, idx: jax.Array, ct: jax.Array,
     # One explicit [M, D] -> [D, M] transpose so every sort operand is a
     # contiguous row: with ct[:, j] column extractions the variadic sort
     # ran 19.5 ms in-graph vs its 7.6 ms microbench (strided operand
-    # layouts); the transpose itself is one bandwidth pass.
-    ct_t = ct.T
+    # layouts).  The optimization barrier pins the transpose as a real
+    # materialization — without it XLA fuses the transpose back into each
+    # row extraction and the sort operands are strided again (measured:
+    # the in-graph sort stayed at 19.5 ms despite the .T).
+    ct_t = jax.lax.optimization_barrier(ct.T)
     sorted_ops = jax.lax.sort(
         (idx.astype(jnp.int32),) + tuple(ct_t[j] for j in range(d)),
         num_keys=1,

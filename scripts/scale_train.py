@@ -98,6 +98,10 @@ def main():
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--seed-points", type=int, default=5000)
     ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--num-downscales", type=int, default=2)
+    ap.add_argument("--res-schedule", type=int, default=3000)
+    ap.add_argument("--reg-from", type=int, default=15000,
+                    help="depth-normal regularization start iteration")
     ap.add_argument("--pallas-batched", action="store_true",
                     help="batched Pallas compositing kernels (fwd+bwd pair)")
     ap.add_argument("--cpu", action="store_true",
@@ -135,7 +139,8 @@ def main():
     )
     cfg = rade_gs.RadeGSConfig(
         sh_degree=0, background="random", render=render_opts,
-        use_depth_normal_loss=True, regularization_from_iter=15000,
+        use_depth_normal_loss=True,
+        regularization_from_iter=args.reg_from,
     )
     gt_alive = jnp.ones(n_gt, bool)
     eval_cfg = rade_gs.RadeGSConfig(
@@ -178,7 +183,8 @@ def main():
         model=cfg,
         strategy=strategy.StrategyConfig(),     # full Splatfacto schedule
         max_iterations=args.steps,
-        num_downscales=2, resolution_schedule=3000,
+        num_downscales=args.num_downscales,
+        resolution_schedule=args.res_schedule,
         seed=args.seed,
         scene_scale=1.2,
     )
@@ -231,7 +237,7 @@ def main():
         "steady_it_per_s": float(
             1.0 / np.median([r["wall_s"] for r in recent[-2000:]])
         ),
-        "reg_phase_steps": args.steps - 15000,
+        "reg_phase_steps": max(args.steps - args.reg_from, 0),
     }
     (args.out / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1), flush=True)

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--no-remat-compositing", action="store_true",
                     help="store analytic-VJP residuals across the chunk loop "
                          "instead of rematting each chunk's forward")
+    ap.add_argument("--tile-chunk", type=int, default=64,
+                    help="tiles per compositing chunk (lax.map step)")
     ap.add_argument("--no-pallas-bwd", action="store_true",
                     help="with --pallas-batched: keep the chunked XLA "
                          "moment backward instead of the batched Pallas "
@@ -82,7 +84,8 @@ def main():
                          ellipse_cull=not args.no_ellipse_cull)
 
     def render_sum(m, q, s, o, c):
-        out, _ = render_tiled(m, q, s, o, c, camera, opts)
+        out, _ = render_tiled(m, q, s, o, c, camera, opts,
+                              tile_chunk=args.tile_chunk)
         return (jnp.sum(out.color) + jnp.sum(out.alpha) + jnp.sum(out.depth)
                 + jnp.sum(out.median_depth) + jnp.sum(out.normal))
 

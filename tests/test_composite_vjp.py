@@ -286,7 +286,7 @@ class TestFusedCompositor:
                 (du, dv, sigma, alpha_raw, keep, log1m, cum, t_excl, w,
                  tpix) = _fused_fwd_common(g, snk, msk, up, vp, near)
                 out_v, alpha_out, depth_acc, median, _, _ = _fused_outputs(
-                    g, w, cum, log1m, tpix)
+                    g, w, cum, log1m, tpix, differentiable=True)
                 return out_v, alpha_out, depth_acc, median
 
             def loss(fn, g, snk):
