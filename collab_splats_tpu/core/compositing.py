@@ -32,6 +32,26 @@ ALPHA_CUTOFF = 1.0 / 255.0   # contributions below this are skipped
 ALPHA_MAX = 0.999            # per-splat alpha is clamped to this
 
 
+def _value_precision():
+    """MXU precision for the value-accumulation einsums (w @ values and
+    their VJP transposes).
+
+    DEFAULT = one-pass bf16 inputs with f32 accumulation: ~4e-3 relative
+    error on the weighted color/depth sums — the CUDA reference composites
+    in full f32.  COLLAB_SPLATS_VALUE_PRECISION=high|highest selects 2/3-
+    pass bf16 (~f32) for a hardware quality/perf A/B; the transmittance
+    scans are HIGHEST regardless (prefix sums compound error, values
+    sums do not).
+    """
+    import os
+
+    return {
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }.get(os.environ.get("COLLAB_SPLATS_VALUE_PRECISION", "default"),
+          jax.lax.Precision.DEFAULT)
+
+
 def cumsum_mxu(
     x: jax.Array,
     reverse: bool = False,
@@ -191,7 +211,8 @@ def _composite_chunk_fwd(alphas, tpix, values):
     t_excl = jnp.exp(cum - log1m)
     w = alphas * t_excl
     t_total = t_incl[..., -1]
-    out_v = jnp.einsum("tpk,tkv->tpv", w, values)
+    out_v = jnp.einsum("tpk,tkv->tpv", w, values,
+                       precision=_value_precision())
     alpha_out = 1.0 - t_total
     depth_acc = jnp.sum(w * tpix, axis=-1)
     # Median index without a second [T,P,K] scan: the accumulated weight
@@ -238,7 +259,8 @@ def _composite_chunk_bwd(res, cot):
     w = alphas * t_excl
 
     # Per-(pixel, splat) value-cotangent r_k = values_k . g_v + g_depth*tpix_k.
-    r = jnp.einsum("tpv,tkv->tpk", g_v, values) + g_depth[..., None] * tpix
+    r = jnp.einsum("tpv,tkv->tpk", g_v, values,
+                   precision=_value_precision()) + g_depth[..., None] * tpix
     s = w * r
     # Exclusive suffix sum: sum_{k>i} s_k (MXU matmul, not a reduce-window).
     suffix = cumsum_mxu(s, reverse=True) - s
@@ -250,7 +272,8 @@ def _composite_chunk_bwd(res, cot):
         + (g_alpha * t_total)[..., None] * inv1m
     )
 
-    d_values = jnp.einsum("tpk,tpv->tkv", w, g_v)
+    d_values = jnp.einsum("tpk,tpv->tkv", w, g_v,
+                          precision=_value_precision())
 
     g_med = jnp.where(t_total < 1.0, g_med, 0.0)  # median masked at alpha==0
     k = alphas.shape[-1]
@@ -319,7 +342,8 @@ def _fused_fwd_common(g, sink, msk, up, vp, near_plane):
 
 def _fused_outputs(g, w, cum, log1m, tpix, differentiable=False):
     t_total = jnp.exp(cum[..., -1])
-    out_v = jnp.einsum("tpk,tkv->tpv", w, g[..., _G_VALS:])
+    out_v = jnp.einsum("tpk,tkv->tpv", w, g[..., _G_VALS:],
+                       precision=_value_precision())
     alpha_out = 1.0 - t_total
     depth_acc = jnp.sum(w * tpix, axis=-1)
     # Median: first splat where accumulated opacity crosses 0.5, i.e.
@@ -417,7 +441,8 @@ def fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total, cot, near_plane):
 
     vals = g[..., _G_VALS:]
     # r_k = dL/dw_k; s/suffix implement the back-to-front recurrence.
-    r = jnp.einsum("tpv,tkv->tpk", g_v, vals) + g_depth[..., None] * tpix
+    r = jnp.einsum("tpv,tkv->tpk", g_v, vals,
+                   precision=_value_precision()) + g_depth[..., None] * tpix
     s = w * r
     suffix = cumsum_mxu(s, reverse=True) - s
     inv1m = jnp.exp(-log1m)   # 1/(1-alpha); ==1 at masked slots
@@ -469,7 +494,8 @@ def fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total, cot, near_plane):
     S = jnp.einsum("tpk,tpm->tkm", d_sigma, basis)          # [T, K, 6]
     T3 = jnp.einsum("tpk,tpm->tkm", d_tpix, basis[..., :3])  # [T, K, 3]
     d_opac = jnp.sum(d_opac_pk, axis=1)
-    d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v)
+    d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v,
+                        precision=_value_precision())
     return moments_to_dg(g, sink, S, T3, d_opac, d_vals, u0, v0)
 
 

@@ -96,7 +96,14 @@ def covariance3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     """3D covariance ``R diag(s^2) R^T`` from quaternions and (linear) scales."""
     R = quat_to_rotmat(quats)                       # [N, 3, 3]
     M = R * scales[..., None, :]                    # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    # HIGHEST: TPU matmuls default to one-pass bf16; an 8-bit-mantissa
+    # covariance (and its gradient) measurably degrades training vs the
+    # identical run on CPU f32.  These [N,3,3] contractions are FLOP-free
+    # next to compositing.
+    return jax.lax.dot_general(
+        M, M, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def min_axis_normal(quats: jax.Array, scales: jax.Array) -> jax.Array:
@@ -109,7 +116,8 @@ def min_axis_normal(quats: jax.Array, scales: jax.Array) -> jax.Array:
     R = quat_to_rotmat(quats)
     idx = jnp.argmin(scales, axis=-1)
     onehot = jax.nn.one_hot(idx, 3, dtype=scales.dtype)
-    n = jnp.einsum("nij,nj->ni", R, onehot)
+    n = jnp.einsum("nij,nj->ni", R, onehot,
+                   precision=jax.lax.Precision.HIGHEST)
     return n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
 
 
@@ -158,14 +166,18 @@ def project_gaussians(
     R_wc = viewmat[:3, :3]
     t_wc = viewmat[:3, 3]
 
-    p_cam = means @ R_wc.T + t_wc                    # [N, 3]
+    # HIGHEST: bf16 world->camera positions quantize means to ~1e-2 of the
+    # scene extent, a visible training-quality hit (see covariance3d note).
+    p_cam = jnp.einsum("ni,ji->nj", means, R_wc,
+                       precision=jax.lax.Precision.HIGHEST) + t_wc  # [N, 3]
     x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
     in_depth = (z > near_plane) & (z < far_plane)
     zs = jnp.where(in_depth, z, 1.0)                 # safe z for division
 
     # Camera-space covariance.
     cov_w = covariance3d(quats, scales)              # [N, 3, 3]
-    cov_c = jnp.einsum("ij,njk,lk->nil", R_wc, cov_w, R_wc)
+    cov_c = jnp.einsum("ij,njk,lk->nil", R_wc, cov_w, R_wc,
+                       precision=jax.lax.Precision.HIGHEST)
 
     # Perspective Jacobian rows (the 2x3 block of J3).
     rz = 1.0 / zs
@@ -199,8 +211,20 @@ def project_gaussians(
     det_safe = jnp.where(det > 1e-12, det, 1.0)
     ok_det = det > 1e-12
 
-    # Antialiasing compensation: sqrt(det(raw) / det(blurred)).
-    compensation = jnp.sqrt(jnp.clip(det_raw / det_safe, 0.0, None))
+    # Antialiasing compensation: sqrt(det(raw) / det(blurred)).  det_raw is
+    # PSD-nonnegative in exact math but goes numerically negative for
+    # needle-thin splats; sqrt(clip(x, 0)) then yields a NaN *gradient*
+    # (sqrt'(0) = inf times the clip's zero tangent).  One such splat
+    # poisons the Adam moments of every parameter — observed as a one-step
+    # training collapse at 26k gaussians (runs/scale_r4).  The double-where
+    # keeps the forward identical and pins the gradient to 0 at the clamp.
+    ratio = det_raw / det_safe
+    ratio_pos = ratio > 1e-12
+    compensation = jnp.where(
+        ratio_pos,
+        jnp.sqrt(jnp.where(ratio_pos, ratio, 1.0)),
+        0.0,
+    )
 
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)

@@ -127,26 +127,44 @@ def expand_bwd_pallas(n: int, idx: jax.Array, ct: jax.Array,
     one kernel (~4 ms) — and the sums are exact instead of
     prefix-difference approximate.
     """
+    import os
+
     d = ct.shape[1]
     m = idx.shape[0]
-    # One explicit [M, D] -> [D, M] transpose so every sort operand is a
-    # contiguous row: with ct[:, j] column extractions the variadic sort
-    # ran 19.5 ms in-graph vs its 7.6 ms microbench (strided operand
-    # layouts).  The optimization barrier pins the transpose as a real
-    # materialization — without it XLA fuses the transpose back into each
-    # row extraction and the sort operands are strided again (measured:
-    # the in-graph sort stayed at 19.5 ms despite the .T).
-    ct_t = jax.lax.optimization_barrier(ct.T)
-    sorted_ops = jax.lax.sort(
-        (idx.astype(jnp.int32),) + tuple(ct_t[j] for j in range(d)),
-        num_keys=1,
-    )
-    sidx = sorted_ops[0]
+    if os.environ.get("COLLAB_SPLATS_SEGSUM_SORT") == "gather":
+        # A/B variant: 2-operand (idx, iota) sort + ONE [M, D] row gather.
+        # The binning sort (2 int32 operands, same M) profiles at 3.2 ms
+        # and row gathers at ~6 ns/row (g_full: 11.5 ms for 1.87M rows),
+        # so this should land ~16 ms vs the 19.5 ms 16-operand payload
+        # sort — but an earlier microbench note claimed ~50 ms for the
+        # gather form; this flag exists to settle it in-graph.
+        sidx, order = jax.lax.sort(
+            (idx.astype(jnp.int32),
+             jnp.arange(m, dtype=jnp.int32)), num_keys=1,
+        )
+        sorted_rows = ct[order]                         # [M, D] row gather
+        sorted_cols = tuple(sorted_rows[:, j] for j in range(d))
+    else:
+        # One explicit [M, D] -> [D, M] transpose so every sort operand is
+        # a contiguous row: with ct[:, j] column extractions the variadic
+        # sort ran 19.5 ms in-graph vs its 7.6 ms microbench (strided
+        # operand layouts).  The optimization barrier pins the transpose
+        # as a real materialization — without it XLA fuses the transpose
+        # back into each row extraction and the sort operands are strided
+        # again (measured: the in-graph sort stayed at 19.5 ms despite
+        # the .T).
+        ct_t = jax.lax.optimization_barrier(ct.T)
+        sorted_ops = jax.lax.sort(
+            (idx.astype(jnp.int32),) + tuple(ct_t[j] for j in range(d)),
+            num_keys=1,
+        )
+        sidx = sorted_ops[0]
+        sorted_cols = sorted_ops[1:]
     d_pad = -(-(d + 1) // 8) * 8
     m_pad = (-(-m // CHUNK) + 1) * CHUNK
     pad_m = m_pad - m
     zero_row = jnp.zeros((m_pad,), jnp.float32)
-    rows = [jnp.pad(r, (0, pad_m)) for r in sorted_ops[1:]]
+    rows = [jnp.pad(r, (0, pad_m)) for r in sorted_cols]
     rows += [zero_row] * (d_pad - 1 - d)
     # gid row LAST (kernel reads scratch[d_pad - 1]); padding columns get
     # id -1 so they can never match an output block.

@@ -269,6 +269,26 @@ def bin_gaussians(
             jnp.clip((log_d - lo) / (hi - lo), 0.0, 1.0) * levels
         ).astype(jnp.int32)
 
+    # Rank column, pre-shifted to fit the key budget under exact binning.
+    tile_bits = tile_bits_est
+    rank_bits = rank_bits_est
+    r_all = rank
+    if opts.exact_binning:
+        n_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+        if n_bits > rank_bits:
+            r_all = r_all >> (n_bits - rank_bits)
+
+    if _use_pallas_binning(n, m_cap, opts):
+        key, gid = _decode_keys_pallas(
+            proj, opts, counts, offsets, r_all, n, m_cap,
+            ntx, ts, num_tiles, rank_bits, opacities,
+        )
+        sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
+        return _windows_from_sorted(
+            sorted_key, sorted_gid, num_tiles, rank_bits_est, ntx, nty,
+            k_cap, m_cap, dropped,
+        )
+
     # Invert slot -> gaussian: scatter each gaussian's index at its first
     # slot, then forward-fill with a cumulative max.
     seed_pos = jnp.where(counts > 0, offsets, m_cap)
@@ -287,13 +307,6 @@ def bin_gaussians(
     # (profiled), while a single [M, D] row gather is ~10x cheaper — and
     # row-gather cost is per ROW, not per element, so the ellipse-cull
     # columns below (f32 bitcast into the int32 matrix) ride along ~free.
-    tile_bits = tile_bits_est
-    rank_bits = rank_bits_est
-    r_all = rank
-    if opts.exact_binning:
-        n_bits = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-        if n_bits > rank_bits:
-            r_all = r_all >> (n_bits - rank_bits)
     cols = [offsets, ncols, ty0 * ntx + tx0, r_all]
     if opts.ellipse_cull:
         # Cull threshold: entries with min-over-tile sigma above
@@ -334,8 +347,15 @@ def bin_gaussians(
     key = jnp.where(keep_slot, key, num_tiles << rank_bits)
 
     sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
+    return _windows_from_sorted(
+        sorted_key, sorted_gid, num_tiles, rank_bits, ntx, nty, k_cap,
+        m_cap, dropped,
+    )
 
-    # Per-tile windows.
+
+def _windows_from_sorted(sorted_key, sorted_gid, num_tiles, rank_bits,
+                         ntx, nty, k_cap, m_cap, dropped) -> TileBins:
+    """Per-tile capacity windows over the (tile|rank)-sorted list."""
     tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits
     bounds = jnp.searchsorted(sorted_key, tile_range, side="left").astype(
         jnp.int32
@@ -359,3 +379,75 @@ def bin_gaussians(
         sorted_gid=sorted_gid,
         starts=bounds,
     )
+
+
+def _use_pallas_binning(n: int, m_cap: int, opts: RenderOptions) -> bool:
+    """Pallas run-length-decode expansion (ops/pallas/binning_kernel).
+
+    Requires every integer field to be f32-exact (< 2^24) and a TPU (or
+    ``opts.pallas_interpret`` for CPU tests).  Off by default until the
+    hardware A/B lands; force with COLLAB_SPLATS_BINNING=pallas|xla.
+    """
+    import os
+
+    if n >= (1 << 24) or m_cap > (1 << 24):
+        return False
+    force = os.environ.get("COLLAB_SPLATS_BINNING")
+    if force == "xla":
+        return False
+    if force == "pallas":
+        return True
+    return False
+
+
+def _decode_keys_pallas(proj, opts, counts, offsets, r_all, n, m_cap,
+                        ntx, ts, num_tiles, rank_bits, opacities):
+    """Build the [16, N_pad] f32 column matrix and run the decode kernel."""
+    from .pallas import binning_kernel as bk
+
+    f = lambda x: x.astype(jnp.float32)  # noqa: E731
+    ends = offsets + counts
+    rows = [jnp.zeros((n,), jnp.float32)] * bk.C_ROWS
+    rows[bk.C_OFF] = f(offsets)
+    rows[bk.C_END] = f(ends)
+    # ncols of culled/invalid gaussians is irrelevant (they own no slot)
+    # but must be >= 1 so the kernel's floor-div correction terminates.
+    tx0, ty0, tx1, _ = tile_bbox(proj, ntx, -(-num_tiles // ntx), ts)
+    rows[bk.C_NCOLS] = f(jnp.maximum(tx1 - tx0 + 1, 1))
+    rows[bk.C_TILE0] = f(ty0 * ntx + tx0)
+    rows[bk.C_RANK] = f(r_all)
+    rows[bk.C_GIDX] = f(jnp.arange(n, dtype=jnp.int32))
+    rows[bk.C_ONE] = jnp.ones((n,), jnp.float32)
+    if opts.ellipse_cull:
+        from ..core.compositing import ALPHA_CUTOFF
+
+        if opacities is None:
+            thresh = jnp.full((n,), -np.log(ALPHA_CUTOFF), jnp.float32)
+        else:
+            thresh = jnp.log(jnp.clip(opacities / ALPHA_CUTOFF, 1e-12,
+                                      None))
+        rows[bk.C_MU] = proj.mean2d[:, 0]
+        rows[bk.C_MV] = proj.mean2d[:, 1]
+        rows[bk.C_A] = proj.conic[:, 0]
+        rows[bk.C_B] = proj.conic[:, 1]
+        rows[bk.C_C] = proj.conic[:, 2]
+        rows[bk.C_THR] = thresh
+    cols16 = jnp.stack(rows, axis=0)                     # [16, N]
+    n_pad = -(-n // bk.GW) * bk.GW
+    cols16 = jnp.pad(cols16, ((0, 0), (0, n_pad - n)))
+
+    m_blocks = -(-m_cap // bk.S_BLOCK)
+    edges = jnp.arange(m_blocks + 1, dtype=jnp.int32) * bk.S_BLOCK
+    # raw[e] = first gaussian whose slot run ends after edge e — the owner
+    # of slot e*S.  Block i's owners span [raw[i], raw[i+1]] inclusive.
+    raw = jnp.searchsorted(ends, edges, side="right").astype(jnp.int32)
+    lo = jnp.clip((raw[:-1] // bk.GW) * bk.GW, 0, n_pad - bk.GW)
+    hi = jnp.clip(-(-(raw[1:] + 1) // bk.GW) * bk.GW, 0, n_pad)
+    hi = jnp.maximum(hi, lo + bk.GW)
+    out = bk.decode_bin_keys(
+        cols16, lo, hi, m_blocks, ntx, ts, rank_bits, num_tiles,
+        bool(opts.ellipse_cull), bool(opts.pallas_interpret),
+    ).reshape(m_blocks, 8, bk.S_BLOCK)
+    key = out[:, 0, :].reshape(-1)[:m_cap]
+    gid = out[:, 1, :].reshape(-1)[:m_cap]
+    return key, gid

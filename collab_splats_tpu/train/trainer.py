@@ -232,16 +232,36 @@ class Trainer:
             for k, g in pgrads.items()
         }
 
-        updates, opt_state = self.optimizer.update(pgrads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        # Non-finite gradient guard: a single degenerate splat can emit an
+        # inf/NaN gradient that would poison every Adam moment — observed
+        # as a one-step unrecoverable collapse (runs/scale_r4, step 1037,
+        # before the projection sqrt-clamp fix).  Cost is one fused
+        # isfinite reduce; a bad step is skipped (params, opt state, and
+        # strategy statistics all keep their previous values) and counted.
+        finite = jnp.array(True)
+        for g in jax.tree_util.tree_leaves((pgrads, sink_grad)):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+
+        def _keep(new, old):
+            return jnp.where(finite, new, old) if hasattr(new, "shape") \
+                else new
+
+        updates, new_opt = self.optimizer.update(pgrads, opt_state, params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates
+        )
+        params = jax.tree_util.tree_map(_keep, new_params, params)
+        opt_state = jax.tree_util.tree_map(_keep, new_opt, opt_state)
         if cfg.render.backend == "pallas":
-            strat_state = strategy.update_state_from_isect(
+            new_strat = strategy.update_state_from_isect(
                 strat_state, meta, sink_grad
             )
         else:
-            strat_state = strategy.update_state(strat_state, meta, sink_grad)
+            new_strat = strategy.update_state(strat_state, meta, sink_grad)
+        strat_state = jax.tree_util.tree_map(_keep, new_strat, strat_state)
 
         metrics = {
+            "nonfinite_grad": 1 - finite.astype(jnp.int32),
             "loss": loss,
             "psnr": losses.psnr(outputs["rgb"], image),
             "spilled": outputs["spilled"],

@@ -109,6 +109,10 @@ def main():
                          "alone is not honored with the axon plugin)")
     ap.add_argument("--capacity", type=int, default=32768,
                     help="initial gaussian capacity (recompile headroom)")
+    ap.add_argument("--save-every", type=int, default=2000,
+                    help="checkpoint cadence (0 disables)")
+    ap.add_argument("--resume", type=Path, default=None,
+                    help="checkpoint to resume from (params+opt+strategy)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -189,19 +193,27 @@ def main():
         scene_scale=1.2,
     )
     tr = Trainer(tconf, cams, images, init, alive)
+    if args.resume is not None:
+        tr.restore(args.resume)
+        print(f"resumed from {args.resume} at step {tr.step}", flush=True)
 
     t0 = time.time()
     peak_n = args.seed_points
     spill_seen = 0
+    nonfinite_seen = 0
     recent = []
-    with open(hist_path, "w") as hf:
-        for i in range(args.steps):
+    mode = "a" if args.resume is not None else "w"
+    with open(hist_path, mode) as hf:
+        for i in range(tr.step, args.steps):
             ts = time.time()
             m = tr.train_one_step()
             m["step"] = tr.step
             m["wall_s"] = time.time() - ts
             peak_n = max(peak_n, m["num_gaussians"])
             spill_seen = max(spill_seen, int(m.get("spilled", 0)))
+            nonfinite_seen += int(m.get("nonfinite_grad", 0))
+            if args.save_every and tr.step % args.save_every == 0:
+                tr.save(args.out / f"ckpt_{tr.step:06d}.npz")
             if tr.step % args.eval_every == 0 or tr.step == args.steps:
                 ev = tr.eval_image(cams[0], images[0])
                 m["eval_psnr"] = ev["psnr"]
@@ -211,7 +223,7 @@ def main():
                     f"step {tr.step:6d}  psnr {ev['psnr']:6.2f}  "
                     f"N {m['num_gaussians']:7d}  cap "
                     f"{tr.alive.shape[0]:7d}  spill {m.get('spilled', 0)}  "
-                    f"ds {tr.downscale_factor()}  "
+                    f"nfg {nonfinite_seen}  ds {tr.downscale_factor()}  "
                     f"{tr.step / el:5.1f} it/s  [{el:7.1f}s]",
                     flush=True,
                 )
@@ -233,6 +245,7 @@ def main():
         "final_gaussians": int(recent[-1]["num_gaussians"]),
         "capacity": int(tr.alive.shape[0]),
         "max_spill_seen": int(spill_seen),
+        "nonfinite_grad_steps": int(nonfinite_seen),
         "wall_clock_s": time.time() - t0,
         "steady_it_per_s": float(
             1.0 / np.median([r["wall_s"] for r in recent[-2000:]])
