@@ -36,20 +36,19 @@ def _value_precision():
     """MXU precision for the value-accumulation einsums (w @ values and
     their VJP transposes).
 
-    DEFAULT = one-pass bf16 inputs with f32 accumulation: ~4e-3 relative
-    error on the weighted color/depth sums — the CUDA reference composites
-    in full f32.  COLLAB_SPLATS_VALUE_PRECISION=high|highest selects 2/3-
-    pass bf16 (~f32) for a hardware quality/perf A/B; the transmittance
-    scans are HIGHEST regardless (prefix sums compound error, values
-    sums do not).
+    Defaults to HIGHEST (f32-accurate multi-pass bf16): the CUDA reference
+    composites in full f32, one-pass bf16 costs ~4e-3 relative error on
+    the weighted color/depth sums and their gradients, and these einsums
+    are HBM-streaming-bound so the extra MXU passes are ~free (hardware
+    A/B: COLLAB_SPLATS_VALUE_PRECISION=default|high measures it back).
     """
     import os
 
     return {
+        "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-    }.get(os.environ.get("COLLAB_SPLATS_VALUE_PRECISION", "default"),
-          jax.lax.Precision.DEFAULT)
+    }.get(os.environ.get("COLLAB_SPLATS_VALUE_PRECISION", "highest"),
+          jax.lax.Precision.HIGHEST)
 
 
 def cumsum_mxu(
@@ -491,8 +490,17 @@ def fused_bwd_from_g(g, sink, msk, up, vp, idx, t_total, cot, near_plane):
     basis = jnp.stack(
         [jnp.ones_like(up_l), up_l, vp_l,
          up_l * up_l, up_l * vp_l, vp_l * vp_l], axis=-1)   # [T, P, 6]
-    S = jnp.einsum("tpk,tpm->tkm", d_sigma, basis)          # [T, K, 6]
-    T3 = jnp.einsum("tpk,tpm->tkm", d_tpix, basis[..., :3])  # [T, K, 3]
+    # HIGHEST is mandatory here, not a tuning knob: moments_to_dg
+    # recombines these moments with near-cancelling differences
+    # (sdu = s10 - mu*s00), and one-pass bf16 moments turn d_mean — and
+    # with it the absgrad densification statistic — into noise (observed:
+    # ~3x over-densification and a 7 dB step-500 PSNR gap vs the same run
+    # on CPU f32).  The einsums are HBM-streaming-bound, so the extra MXU
+    # passes are ~free.
+    S = jnp.einsum("tpk,tpm->tkm", d_sigma, basis,
+                   precision=jax.lax.Precision.HIGHEST)      # [T, K, 6]
+    T3 = jnp.einsum("tpk,tpm->tkm", d_tpix, basis[..., :3],
+                    precision=jax.lax.Precision.HIGHEST)     # [T, K, 3]
     d_opac = jnp.sum(d_opac_pk, axis=1)
     d_vals = jnp.einsum("tpk,tpv->tkv", w, g_v,
                         precision=_value_precision())

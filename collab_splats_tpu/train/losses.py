@@ -45,15 +45,21 @@ def _filter2d(img: jax.Array, window_1d: jax.Array) -> jax.Array:
     w_col = jnp.broadcast_to(
         window_1d[None, None, None, :], (c, 1, 1, k)
     )
+    # HIGHEST: TPU convs default to one-pass bf16, and SSIM consumes these
+    # filters in the cancellation E[x^2] - E[x]^2 — bf16 makes the local
+    # variance (and 20% of the training loss gradient, ssim_lambda=0.2)
+    # noise.  11-tap depthwise convs are negligible FLOPs either way.
     y = jax.lax.conv_general_dilated(
         x, w_row, window_strides=(1, 1), padding="VALID",
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     y = jax.lax.conv_general_dilated(
         y, w_col, window_strides=(1, 1), padding="VALID",
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y[0].transpose(1, 2, 0)             # [H', W', C]
 
