@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build(width, height):
+def build(width, height, legacy=False):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +36,8 @@ def build(width, height):
     cfg = rade_gs.RadeGSConfig(
         sh_degree=0, background="black",
         render=RenderOptions(rasterize_mode="antialiased",
-                             exact_binning=False),
+                             exact_binning=False,
+                             fused_vjp=not legacy),
     )
     gt_alive = jnp.ones(n_gt, bool)
 
@@ -72,7 +73,7 @@ def build(width, height):
     return locals()
 
 
-def run_platform(platform, width, height):
+def run_platform(platform, width, height, legacy=False):
     import jax
 
     if platform == "cpu":
@@ -82,7 +83,7 @@ def run_platform(platform, width, height):
     from collab_splats_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    env = build(width, height)
+    env = build(width, height, legacy=legacy)
     cam, cfg = env["cam"], env["cfg"]
     rade_gs = sys.modules["collab_splats_tpu.models.rade_gs"]
     params, alive = env["init"], env["alive"]
@@ -119,10 +120,13 @@ def main():
     ap.add_argument("--ref", type=Path, default=None,
                     help="npz from a --save run to compare against")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--legacy", action="store_true",
+                    help="legacy composite_chunk VJP instead of the fused "
+                         "analytic compositing VJP")
     args = ap.parse_args()
 
     res = run_platform("cpu" if args.cpu else "native", args.width,
-                       args.height)
+                       args.height, legacy=args.legacy)
     print(f"platform={res['platform']} loss={float(res['loss']):.6f}")
     if args.save:
         np.savez(args.save, loss=res["loss"], rgb=res["rgb"],
