@@ -30,12 +30,68 @@ def _gaussian_window_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 _WINDOW_1D = _gaussian_window_1d()
 
 
+def _use_matmul_filter() -> bool:
+    """Banded-matmul SSIM filter on TPU; depthwise conv elsewhere.
+
+    The TPU (axon) lowering of the grouped ``conv_general_dilated``
+    TRANSPOSE — the VJP of the depthwise filter — returns garbage at
+    rendering-sized images: the SSIM *forward* matched CPU to 1e-4 while
+    gradients through it came out 1000-25000x off with cosine ~0.04
+    (scripts/grad_bisect.py: proj/rsum/l1 stages all cos 1.0000, the
+    SSIM-bearing stage alone garbage; finite differences certified the
+    CPU gradient).  A banded matrix multiply is the same linear operator
+    with an exact, trivially-transposed autodiff rule, and the MXU eats
+    [H', H] @ [H, W*C] whole.  Override: COLLAB_SPLATS_SSIM_FILTER=
+    conv|matmul.
+    """
+    import os
+
+    force = os.environ.get("COLLAB_SPLATS_SSIM_FILTER")
+    if force == "conv":
+        return False
+    if force == "matmul":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _band_matrix(n_in: int, window_1d: jax.Array) -> jax.Array:
+    """[n_out, n_in] banded matrix applying a 'valid' k-tap correlation:
+    ``y_i = sum_j w_j x_{i+j}``.  Built device-side from iota comparisons
+    (no large trace constants)."""
+    k = window_1d.shape[0]
+    n_out = n_in - k + 1
+    rows = jnp.arange(n_out)[:, None]                  # [n_out, 1]
+    cols = jnp.arange(n_in)[None, :]                   # [1, n_in]
+    off = cols - rows                                  # [n_out, n_in]
+    inside = (off >= 0) & (off < k)
+    return jnp.where(
+        inside, window_1d[jnp.clip(off, 0, k - 1)], 0.0
+    ).astype(jnp.float32)
+
+
+def _filter2d_matmul(img: jax.Array, window_1d: jax.Array) -> jax.Array:
+    """'valid' separable Gaussian filter of [H, W, C] as two banded
+    matmuls (see :func:`_use_matmul_filter`)."""
+    h, w, _ = img.shape
+    mh = _band_matrix(h, window_1d)                    # [H', H]
+    mw = _band_matrix(w, window_1d)                    # [W', W]
+    y = jnp.einsum("ih,hwc->iwc", mh, img,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("jw,iwc->ijc", mw, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _filter2d(img: jax.Array, window_1d: jax.Array) -> jax.Array:
     """Depthwise 'valid' Gaussian filter of [H, W, C].
 
     The Gaussian window is separable: two k-tap passes instead of one
     k*k-tap conv (profiled ~5x cheaper at 720p on TPU).
     """
+    if _use_matmul_filter():
+        return _filter2d_matmul(img, window_1d)
     c = img.shape[-1]
     k = window_1d.shape[0]
     x = img.transpose(2, 0, 1)[None]           # [1, C, H, W]

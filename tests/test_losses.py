@@ -100,3 +100,31 @@ class TestProfiling:
         import os
 
         assert any(os.scandir(d))
+
+
+class TestFilterBackends:
+    """The banded-matmul SSIM filter (TPU default: the grouped-conv
+    TRANSPOSE miscompiles on the TPU backend, scripts/grad_bisect.py)
+    must match the conv path in value and gradient."""
+
+    def test_matmul_filter_matches_conv(self, monkeypatch):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from collab_splats_tpu.train import losses as L
+
+        k = jax.random.PRNGKey(0)
+        a = jax.random.uniform(k, (37, 53, 3))
+        b = jax.random.uniform(jax.random.PRNGKey(1), (37, 53, 3))
+
+        monkeypatch.setenv("COLLAB_SPLATS_SSIM_FILTER", "conv")
+        v_c = float(L.ssim(a, b))
+        g_c = np.asarray(jax.grad(lambda x: L.ssim(x, b))(a))
+        monkeypatch.setenv("COLLAB_SPLATS_SSIM_FILTER", "matmul")
+        v_m = float(L.ssim(a, b))
+        g_m = np.asarray(jax.grad(lambda x: L.ssim(x, b))(a))
+
+        assert abs(v_c - v_m) < 1e-5
+        rel = np.linalg.norm(g_m - g_c) / np.linalg.norm(g_c)
+        assert rel < 1e-4, rel
