@@ -261,7 +261,14 @@ def bin_gaussians(
             .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
         )
     else:
-        levels = (1 << rank_bits_est) - 1
+        # Clamp quantized levels to 2^24-1 even when the key budget allows
+        # more (few tiles -> rank_bits_est up to 30): the Pallas decode
+        # kernel carries every integer field as f32, which is only exact
+        # below 2^24 — a rank rounding up at 2^25 would overflow into the
+        # tile bits and bin the splat into the wrong tile (ADVICE r4).
+        # 24 bits of log-depth quantization is far below float32 depth
+        # discrimination anyway, so the XLA path loses nothing.
+        levels = (1 << min(rank_bits_est, 24)) - 1
         log_d = jnp.log(jnp.clip(proj.depth, opts.near_plane, opts.far_plane))
         lo = jnp.log(opts.near_plane)
         hi = jnp.log(jnp.minimum(opts.far_plane, 1e6))
@@ -285,7 +292,7 @@ def bin_gaussians(
         )
         sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
         return _windows_from_sorted(
-            sorted_key, sorted_gid, num_tiles, rank_bits_est, ntx, nty,
+            sorted_key, sorted_gid, num_tiles, rank_bits, ntx, nty,
             k_cap, m_cap, dropped,
         )
 

@@ -59,17 +59,8 @@ def build(width, height, legacy=False):
         return rade_gs.get_outputs(gt, gt_alive, cam, 0, cfg,
                                    training=False)[0]["rgb"]
 
-    def loss_and_maps(params):
-        outputs, meta = rade_gs.get_outputs(
-            params, alive, cam, 0, cfg, training=True,
-        )
-        img = gt_img  # closed over below
-        loss, _ = rade_gs.get_loss(outputs, img, params, alive, 0, cfg)
-        return loss, outputs
-
-    import jax
-
-    gt_img = None  # set by caller per platform
+    # Callers (run_platform, grad_bisect) define their own loss closures
+    # over the returned pieces; build() only assembles the scene/state.
     return locals()
 
 

@@ -85,6 +85,49 @@ def test_pallas_binning_global_overflow(monkeypatch):
     _assert_bins_equal(got, ref)
 
 
+def test_pallas_binning_far_depth_quantization(monkeypatch):
+    """Quantized ranks above 2^24 must not corrupt the Pallas path.
+
+    With few tiles (48 here) the key budget allows rank_bits_est = 25, and
+    depths beyond ~100 units quantize above 2^24 — not f32-exact, so the
+    kernel's f32-carried rank could round up and overflow into the tile
+    bits, binning the splat into the wrong tile (ADVICE r4 medium).
+    bin_gaussians now clamps quantized levels to 2^24-1 on every path.
+    """
+    cam: Camera = orbit_cameras(1, radius=3.0, width=128, height=96,
+                                focal=1.2 * 128)[0]
+    p = random_gaussian_params(jax.random.PRNGKey(11), 600, extent=1.4,
+                               scale_range=(0.01, 0.08))
+    # Push half the splats very deep along the camera's view direction so
+    # their log-depth fraction exceeds 0.5 (quantized rank > 2^24 under the
+    # old 25-bit levels).  Scale them up so they still cover tiles.
+    fwd = -np.asarray(cam.c2w)[:3, 2]
+    deep = jnp.asarray(
+        np.asarray(cam.c2w)[:3, 3][None, :]
+        + np.linspace(150.0, 900.0, 300)[:, None] * fwd[None, :]
+    ).astype(jnp.float32)
+    means = p["means"].at[:300].set(deep + 0.5 * jax.random.normal(
+        jax.random.PRNGKey(12), (300, 3)))
+    scales = p["scales"].at[:300].set(jnp.log(jnp.full((300, 3), 3.0)))
+    opac = jax.nn.sigmoid(p["opacities"][:, 0])
+    proj = project_gaussians(
+        means, p["quats"], jnp.exp(scales),
+        cam.viewmat(), cam.K, cam.width, cam.height, opacities=opac,
+    )
+    base = RenderOptions(
+        max_intersections=1 << 14, tile_capacity=64,
+        exact_binning=False, pallas_interpret=True,
+    )
+    # Precondition: some depths really are beyond the 2^24 quantization
+    # threshold (~d > 100 with the [0.01, 1e6] log range).
+    assert float(jnp.max(jnp.where(proj.valid, proj.depth, 0.0))) > 120.0
+    monkeypatch.setenv("COLLAB_SPLATS_BINNING", "xla")
+    ref = tiles.bin_gaussians(proj, cam.width, cam.height, base, opac)
+    monkeypatch.setenv("COLLAB_SPLATS_BINNING", "pallas")
+    got = tiles.bin_gaussians(proj, cam.width, cam.height, base, opac)
+    _assert_bins_equal(got, ref)
+
+
 def test_pallas_binning_no_opacities(monkeypatch):
     proj, _, cam = _project(500, seed=7)
     base = RenderOptions(max_intersections=1 << 13, tile_capacity=64,
