@@ -41,7 +41,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--capacity", type=int, default=262144)
     ap.add_argument("--width", type=int, default=1280)
-    ap.add_argument("--height", type=int, default=720)
+    # 704 = 44 tile rows: divisible into 2 and 4 bands (the tile-sharded
+    # band split requires rows % n_gauss == 0; 720p's 45 rows are not).
+    ap.add_argument("--height", type=int, default=704)
     ap.add_argument("--max-intersections", type=int, default=1 << 20)
     ap.add_argument("--tile-capacity", type=int, default=256)
     ap.add_argument("--n-data", type=int, default=4)
