@@ -46,7 +46,14 @@ def log(*a):
 
 def build():
     """Build the benchmark closures; returns a dict of handles."""
+    import os
+
     import jax
+
+    if os.environ.get("BENCH_CPU"):
+        # Off-hardware smoke mode (the env var alone is not honored with
+        # the axon plugin installed; see .claude/skills/verify).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from collab_splats_tpu.utils.cache import enable_compilation_cache
@@ -64,8 +71,12 @@ def build():
 
     import os
 
-    n = 1_000_000
-    width, height = 1280, 720
+    # Overridable for off-hardware smoke tests of the bench machinery
+    # (absurd-guard escalation, subprocess re-measure, spill bound); the
+    # driver runs the defaults.
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    width = int(os.environ.get("BENCH_W", 1280))
+    height = int(os.environ.get("BENCH_H", 720))
     backend = os.environ.get("BENCH_BACKEND", "xla")  # "xla" | "pallas"
     # Batched Pallas compositing kernels (fwd + bwd pair, ops/pallas/
     # batched*.py) on the XLA-orchestrated path; falls back to the XLA
