@@ -108,6 +108,10 @@ def main():
     ap.add_argument("--analytic-gt", action="store_true",
                     help="ray-traced (non-Gaussian-representable) ground "
                          "truth instead of self-rendered Gaussian GT")
+    ap.add_argument("--scene-spheres", type=int, default=10,
+                    help="number of textured spheres in the analytic "
+                         "scene (more objects -> more densification "
+                         "pressure)")
     ap.add_argument("--sh-degree", type=int, default=0,
                     help="spherical-harmonics degree (reference trains 3)")
     ap.add_argument("--features", action="store_true",
@@ -174,7 +178,8 @@ def main():
         from collab_splats_tpu.data import analytic
         from collab_splats_tpu.data.synthetic import orbit_cameras
 
-        scene = analytic.default_scene(seed=7)
+        scene = analytic.default_scene(seed=7,
+                                       n_spheres=args.scene_spheres)
         cams = orbit_cameras(64, radius=3.2, width=args.width,
                              height=args.height, focal=0.9 * args.width)
         print(f"ray-tracing {len(cams)} GT frames "
