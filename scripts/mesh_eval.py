@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--n-cams", type=int, default=32,
                     help="integration views (stride over the 64 orbit)")
     ap.add_argument("--gt-samples", type=int, default=200_000)
+    ap.add_argument("--min-component", type=float, default=0.002,
+                    help="clean_repair component cut as a fraction of "
+                         "total faces.  The exporter default (0.05, the "
+                         "reference's single-object setting) deletes "
+                         "free-floating spheres wholesale in multi-object "
+                         "scenes — each sphere is its own component at "
+                         "~0.3%% of the faces.")
     ap.add_argument("--threshold", type=float, default=0.05)
     ap.add_argument("--out", type=Path, default=None,
                     help="write mesh.ply/splats.ply here")
@@ -94,6 +101,7 @@ def main():
         depth_name=args.depth,
         max_dim=args.max_dim,
         align_floor=False,          # metrics compare in the GT world frame
+        min_component_fraction=args.min_component,
     )
     t0 = time.time()
     exporter = TSDFFusionExporter(params, alive, mcfg, ecfg)
