@@ -4,21 +4,26 @@ VMEM-resident intermediates.
 The XLA fused path (core/compositing.fused_compositor) is HBM-bound: the
 transmittance-scan operand/result and the weight matrix materialize per
 chunk (~23 ms of the 1M/720p forward loop at 819 GB/s).  This kernel
-computes the whole alpha -> transmittance -> weight chain for a block of
-``TC`` tiles x 128 splat lanes entirely in VMEM and writes ONLY ``w``
-(the one [T, P, K] tensor the value einsum genuinely needs) plus the
-[T, P] maps.  Unlike the retired per-tile kernel (ops/pallas/composite.py,
-358 ms — 16k tiny sequential programs), the grid step here is a
-[TC*P, 128] = [16384, 128] block: VPU/MXU-sized, ~60 programs total.
+computes the whole alpha -> transmittance -> weight -> value chain for a
+block of ``TC`` tiles x 128 splat lanes entirely in VMEM and writes ONLY
+[T, P]-sized maps: the value einsum is fused in as per-channel
+broadcast-FMA reductions (r5; previously the kernel wrote the [T, P, K]
+``w`` weight tensor — 1.9 GB at 1M/720p — for an XLA-side einsum to read
+back, ~4.6 GB of pure HBM round-trip, the only [T,P,K] HBM tensor left
+in the batched path; the backward kernel never consumed it, recomputing
+from ``blk_cum`` instead).  Unlike the retired per-tile kernel
+(ops/pallas/composite.py, 358 ms — 16k tiny sequential programs), the
+grid step here is a [TC*P, 128] = [8192, 128] block: VPU/MXU-sized.
 
 Layout contract (all f32):
   g_geo  [9, T_pad, K]   geometry rows, transposed so the splat axis is the
                          lane dimension: 0 u, 1 v, 2 a, 3 b, 4 c (conic),
                          5 depth, 6 plane_u, 7 plane_v, 8 opacity
                          (== ops.rasterize PG_* layout, sink pre-added).
+  vals_t [V, T_pad, K]   value channels (normal ++ colors), splat-lane minor.
   mask   [T_pad, K]      1.0 live / 0.0 dead window slots.
 Outputs:
-  w      [T_pad, P, K]   compositing weights (value-einsum operand)
+  out_v  [V, T_pad, P]   composited value channels (sum_k w * vals)
   alpha, depth_acc, median  [T_pad, P]
   med_idx [T_pad, P] i32 selected splat lane (for the backward's one-hot)
 
@@ -50,10 +55,10 @@ def _tri_le() -> jax.Array:
     return (r <= c).astype(jnp.float32)
 
 
-def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
-                idx_ref, blk_ref, carry, dacc, bkey, bval, bidx, *,
+def _fwd_kernel(g_ref, vals_ref, msk_ref, outv_ref, alpha_ref, depth_ref,
+                med_ref, idx_ref, blk_ref, carry, dacc, bkey, bval, bidx, *,
                 ntx: int, ts: int, near_plane: float, k_total: int,
-                nb: int):
+                nb: int, n_vals: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = ts * ts
@@ -65,6 +70,7 @@ def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
         bkey[:, :] = jnp.full((TC, p), -1.0, jnp.float32)
         bval[:, :] = jnp.zeros((TC, p), jnp.float32)
         bidx[:, :] = jnp.zeros((TC, p), jnp.int32)
+        outv_ref[:, :, :] = jnp.zeros((n_vals, TC, p), jnp.float32)
 
     # Pixel-center coordinates for this chunk's tiles: [TC, P, 1].
     t_loc = jax.lax.broadcasted_iota(jnp.int32, (TC, p, 1), 0)
@@ -99,7 +105,15 @@ def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
     blk_ref[0, :, :] = carry[:, :]
     t_excl = jnp.exp(cprev + cum - lg)
     w = alpha * t_excl
-    w_ref[:, :, :] = w
+    # Fused value reduction: out_v[v] += sum_k w * vals[v, k].  Per-channel
+    # broadcast FMAs over the VMEM-resident w — the same pattern as the
+    # backward kernel's d_vals — replace the XLA-side
+    # einsum("tpk,tkv->tpv") AND the [T, P, K] w output it read (w never
+    # leaves VMEM now).  Full-f32 accumulation: at least as accurate as
+    # the HIGHEST-precision MXU einsum it replaces.
+    for v in range(n_vals):
+        outv_ref[v, :, :] += jnp.sum(
+            w * vals_ref[v, :, :].reshape(TC, 1, KB), axis=2)
 
     tpix = jnp.maximum(row(5) + row(6) * du + row(7) * dv, near_plane)
     dacc[:, :] += jnp.sum(w * tpix, axis=2)
@@ -133,22 +147,24 @@ def _fwd_kernel(g_ref, msk_ref, w_ref, alpha_ref, depth_ref, med_ref,
         idx_ref[:, :] = bidx[:, :]
 
 
-def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
+def composite_batched_fwd(g_geo, vals_t, mask, *, ntx: int, ts: int,
                           near_plane: float, interpret: bool = False):
     """Run the batched forward kernel.
 
     Args:
         g_geo: [9, T_pad, K] f32 (see module docstring; T_pad % TC == 0,
             K % KB == 0).
+        vals_t: [V, T_pad, K] f32 value channels (normal ++ colors).
         mask: [T_pad, K] f32 validity.
 
     Returns:
-        (w [T_pad, P, K], alpha [T_pad, P], depth_acc [T_pad, P],
-        median [T_pad, P], med_idx [T_pad, P] i32,
+        (out_v [V, T_pad, P] composited values, alpha [T_pad, P],
+        depth_acc [T_pad, P], median [T_pad, P], med_idx [T_pad, P] i32,
         blk_cum [nb, T_pad, P] per-block prefix log-transmittance — the
         banked residual the batched backward kernel consumes).
     """
     _, t_pad, k = g_geo.shape
+    nv = vals_t.shape[0]
     assert t_pad % TC == 0 and k % KB == 0, (t_pad, k)
     nb = k // KB
     p = ts * ts
@@ -156,16 +172,17 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
 
     kern = functools.partial(
         _fwd_kernel, ntx=ntx, ts=ts, near_plane=near_plane, k_total=k,
-        nb=nb)
+        nb=nb, n_vals=nv)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((9, TC, KB), lambda i, j: (0, i, j)),
+            pl.BlockSpec((nv, TC, KB), lambda i, j: (0, i, j)),
             pl.BlockSpec((TC, KB), lambda i, j: (i, j)),
         ],
         out_specs=[
-            pl.BlockSpec((TC, p, KB), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((nv, TC, p), lambda i, j: (0, i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
             pl.BlockSpec((TC, p), lambda i, j: (i, 0)),
@@ -173,7 +190,7 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             pl.BlockSpec((1, TC, p), lambda i, j: (j, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, p, k), jnp.float32),
+            jax.ShapeDtypeStruct((nv, t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
             jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
@@ -194,4 +211,4 @@ def composite_batched_fwd(g_geo, mask, *, ntx: int, ts: int,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(g_geo, mask)
+    )(g_geo, vals_t, mask)

@@ -573,8 +573,8 @@ import functools
 def _pallas_fused(near_plane: float, ntx: int, ts: int, interpret: bool,
                   tile_chunk: int, pallas_bwd: bool = True):
     """Custom VJP pairing the batched Pallas compositing forward
-    (ops/pallas/batched.py: whole-image kernel, VMEM-resident chain, one
-    [T,P,K] output — the value-einsum weight matrix) with either the
+    (ops/pallas/batched.py: whole-image kernel, VMEM-resident chain, value
+    einsum fused in — no [T,P,K] HBM tensor anywhere) with either the
     batched Pallas backward (ops/pallas/batched_bwd.py: back-to-front
     suffix walk, VMEM-resident, writes only per-splat moments) or the
     chunked XLA moment backward (core/compositing.fused_bwd_from_g)."""
@@ -586,10 +586,12 @@ def _pallas_fused(near_plane: float, ntx: int, ts: int, interpret: bool,
     def _forward(g_full, sink, msk):
         g_geo = g_full[..., :9].at[..., 0:2].add(sink)
         g_t = jnp.moveaxis(g_geo, -1, 0)               # [9, T_pad, K]
-        w, alpha, depth_acc, median, idx, blk_cum = composite_batched_fwd(
-            g_t, msk, ntx=ntx, ts=ts, near_plane=near_plane,
-            interpret=interpret)
-        out_v = jnp.einsum("tpk,tkv->tpv", w, g_full[..., 9:])
+        vals_t = jnp.moveaxis(g_full[..., 9:], -1, 0)  # [V, T_pad, K]
+        out_vt, alpha, depth_acc, median, idx, blk_cum = \
+            composite_batched_fwd(
+                g_t, vals_t, msk, ntx=ntx, ts=ts, near_plane=near_plane,
+                interpret=interpret)
+        out_v = jnp.moveaxis(out_vt, 0, -1)            # [T_pad, P, V]
         return (out_v, alpha, depth_acc, median), idx, blk_cum
 
     @jax.custom_vjp
