@@ -163,6 +163,24 @@ class TestBatchedCompositor:
                 np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
                 rtol=1e-5, atol=1e-5, err_msg=name)
 
+    def test_features_channels_match_xla_fused(self):
+        # 16-channel values (3 rgb + 13 latents) exercise the in-kernel
+        # fused value reduction at the rade-features channel width
+        # (n_vals = 3 normal + 16 = 19 per-channel FMA passes).
+        from collab_splats_tpu.ops.rasterize import render_tiled
+
+        m, q, s, o, c, cam = self._scene()
+        c16 = jnp.concatenate(
+            [c, jax.random.normal(jax.random.PRNGKey(9),
+                                  (c.shape[0], 13))], axis=1)
+        a, _ = render_tiled(m, q, s, o, c16, cam, self._opts(True),
+                            tile_chunk=32)
+        b, _ = render_tiled(m, q, s, o, c16, cam, self._opts(False),
+                            tile_chunk=32)
+        assert a.color.shape[-1] == 16
+        np.testing.assert_allclose(
+            np.asarray(a.color), np.asarray(b.color), rtol=1e-5, atol=1e-5)
+
     def test_gradients_match_xla_fused(self):
         import functools
 
